@@ -1,0 +1,61 @@
+"""Pipeline configuration.
+
+The reference configures one fixed pipeline through CLI flags
+(``/root/reference/src/cli.rs:5-77``); its (algo x merge) trait matrix is
+monomorphized at ``main.rs:52-92``.  Here the matrix collapses to plain
+dataclass fields: ``algo`` picks the clustering rule, the merge rule is a
+deterministic ordering spec (earliest ``warc_ts``, then smallest ``url``).
+
+All hashing is fixed-seed (never Python ``hash()``) so that every run —
+and the DuckDB/pure-Python oracles — reproduce bit-identical fingerprints.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- fingerprint config (the "identical shingle/signature config"
+    #     that BASELINE.json's recall metric is measured at) ---
+    shingle_k: int = 3          # word-level k-shingles
+    simhash_bits: int = 64      # one LongType column
+    hamming_k: int = 3          # ref: cli.rs:18-19 edit budget k (default 1; we use 3 for 64-bit simhash)
+    simhash_bands: int = 4      # k+1 pieces => any pair with dist<=k shares >=1 piece
+    minhash_perms: int = 128    # signature length
+    lsh_bands: int = 32         # b bands of r = perms//b rows
+    jaccard_threshold: float = 0.5   # signature-similarity verify threshold
+    hash_seed: int = 42
+
+    # --- substring-overlap pass (stage 8) ---
+    window_tokens: int = 64     # fingerprint window width (tokens)
+    window_stride: int = 32     # hop; a >=512-token verbatim overlap shares >=13 windows
+    min_shared_windows: int = 8 # pair accepted when sharing this many window hashes
+
+    # --- clustering ---
+    algo: str = "dir"           # 'dir' | 'adj' | 'cc'   (ref: cli.rs:33-36)
+    directional_p: float = 0.5  # ref: cli.rs:25-26; gate = f_child*2 <= f_parent+1 at p=0.5
+    max_cc_iterations: int = 50
+
+    # --- skew handling (north_rule: explicit skew handling) ---
+    bucket_pair_cap: int = 64   # buckets larger than this switch to sorted-neighbor chaining
+    chain_width: int = 4        # each member pairs with the next `chain_width` in sorted order
+
+    # --- execution ---
+    shuffle_partitions: int = 32
+    checkpoint_dir: str | None = None   # stage-checkpoint root (resumability)
+
+    extra_spark_conf: dict = field(default_factory=dict)
+
+    @property
+    def lsh_rows_per_band(self) -> int:
+        return self.minhash_perms // self.lsh_bands
+
+    def __post_init__(self) -> None:
+        if self.minhash_perms % self.lsh_bands:
+            raise ValueError("minhash_perms must be divisible by lsh_bands")
+        if self.simhash_bits % self.simhash_bands:
+            raise ValueError("simhash_bits must be divisible by simhash_bands")
+        if self.algo not in ("dir", "adj", "cc"):
+            raise ValueError(f"unknown algo {self.algo!r}")

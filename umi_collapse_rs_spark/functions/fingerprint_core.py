@@ -1,0 +1,242 @@
+"""Pure-numpy fingerprint math — no Spark dependency.
+
+This module is the single source of truth for tokenization, shingling,
+stable hashing, SimHash and banded MinHash.  The Spark pandas UDFs
+(functions/udfs.py), the pure-Python reference-semantics oracle
+(oracle.py) and the unit tests all import it, which is what makes
+"dup-pair recall at identical shingle/signature config" well-defined.
+
+Reference analog: the UMI fingerprint encoder at
+``/root/reference/src/utils/mod.rs:63-83`` (string -> packed BitSet) and
+its cached Java-style hash (``bitset.rs:130-147``).  Here the fingerprint
+is a 64-bit SimHash (LongType column) plus a banded MinHash signature;
+all hashing is fixed-seed (cf. the reference's fixed 31-multiplier hash,
+``utils/mod.rs:17-21``) and never Python ``hash()``.
+
+Everything is batch-vectorized: token hashing is ONE C-level
+``pd.util.hash_array`` call per Arrow batch, shingle folding is shifted
+numpy adds over the flat token-hash array, and per-document reductions
+are ``np.minimum.reduceat`` / ``np.add.reduceat`` — the Python
+interpreter never touches a row in the hot path.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_TOKEN_RE = re.compile(r"\S+")
+
+_U64 = np.uint64
+_MASK64 = _U64(0xFFFFFFFFFFFFFFFF)
+_HASH_KEY = "umi_collapse_spk"  # 16 bytes, fixed: stable across runs/processes
+
+# splitmix64 constants (public-domain PRNG finalizer; Steele et al. 2014)
+_SM_GAMMA = _U64(0x9E3779B97F4A7C15)
+_SM_M1 = _U64(0xBF58476D1CE4E5B9)
+_SM_M2 = _U64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 arrays."""
+    old = np.seterr(over="ignore")
+    try:
+        x = (x + _SM_GAMMA) & _MASK64
+        x = ((x ^ (x >> _U64(30))) * _SM_M1) & _MASK64
+        x = ((x ^ (x >> _U64(27))) * _SM_M2) & _MASK64
+        return x ^ (x >> _U64(31))
+    finally:
+        np.seterr(**old)
+
+
+def hash_strings(strings: list[str] | np.ndarray) -> np.ndarray:
+    """Vectorized stable 64-bit hash of a string array (C-level)."""
+    arr = np.asarray(strings, dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=_U64)
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
+
+
+def tokenize(text: str) -> list[str]:
+    """Whitespace tokenization of already-normalized text."""
+    if not text:
+        return []
+    return _TOKEN_RE.findall(text)
+
+
+def batch_shingle_hashes(texts: list[str], k: int, seed: int = 42) -> list[np.ndarray]:
+    """Distinct k-shingle hashes for a batch of documents.
+
+    Returns one sorted uint64 array per document, always non-empty:
+    documents shorter than ``k`` tokens contribute their whole text as a
+    single shingle (FIXTURES.md §4 edge rows), so no row is ever dropped.
+
+    A shingle's hash is an order-sensitive fold of its k token hashes
+    (position-salted splitmix64 sum) re-finalized with the seed; the fold
+    is computed for the entire batch with k shifted vector adds.
+    """
+    n = len(texts)
+    if n == 0:
+        return []
+    toks_per_doc = [tokenize(t if isinstance(t, str) else "") for t in texts]
+    lengths = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    is_short = lengths < k
+
+    out: list[np.ndarray | None] = [None] * n
+    seed64 = _U64(seed & 0xFFFFFFFFFFFFFFFF)
+
+    # short docs: one shingle = the whole joined text
+    short_idx = np.nonzero(is_short)[0]
+    if short_idx.size:
+        joined = [" ".join(toks_per_doc[i]) for i in short_idx]
+        h = splitmix64(hash_strings(joined) ^ seed64)
+        for pos, i in enumerate(short_idx):
+            out[i] = h[pos : pos + 1].copy()
+
+    long_idx = np.nonzero(~is_short)[0]
+    if long_idx.size:
+        flat_tokens: list[str] = []
+        for i in long_idx:
+            flat_tokens.extend(toks_per_doc[i])
+        th = hash_strings(flat_tokens)  # ONE C call for the whole batch
+        old = np.seterr(over="ignore")
+        try:
+            # m_j = splitmix64(token_hash ^ (j+1)); windowed sum via shifts
+            L = len(th)
+            acc = np.zeros(L - k + 1, dtype=_U64)
+            for j in range(k):
+                acc = (acc + splitmix64(th[j : L - k + 1 + j] ^ _U64(j + 1))) & _MASK64
+            acc = splitmix64(acc ^ seed64)
+        finally:
+            np.seterr(**old)
+        start = 0
+        for i in long_idx:
+            ln = int(lengths[i])
+            # windows fully inside this doc: positions [start, start+ln-k]
+            out[i] = np.unique(acc[start : start + ln - k + 1])
+            start += ln
+    return out  # type: ignore[return-value]
+
+
+def shingle_hashes(text: str, k: int, seed: int = 42) -> np.ndarray:
+    """Single-document convenience wrapper over :func:`batch_shingle_hashes`."""
+    return batch_shingle_hashes([text], k, seed)[0]
+
+
+def _flat_offsets(hash_arrays: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    lengths = np.array([len(a) for a in hash_arrays], dtype=np.int64)
+    assert (lengths > 0).all(), "every document must have >=1 shingle hash"
+    flat = np.concatenate(hash_arrays).astype(_U64, copy=False)
+    offsets = np.zeros(len(hash_arrays), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    return flat, offsets, lengths
+
+
+def batch_simhash(hash_arrays: list[np.ndarray]) -> np.ndarray:
+    """64-bit SimHash per document (signed int64), vectorized.
+
+    Bit i is 1 when at least half the document's shingle hashes have bit
+    i set (ties -> 1, deterministic).  Hamming distance between two
+    documents is then ``bit_count(a XOR b)`` — the Spark-side analog of
+    the reference's popcount ``umi_dist`` (utils/mod.rs:24-26,
+    bitset.rs:77-91) without the 3-bit-encoding /2 correction.
+    """
+    if not hash_arrays:
+        return np.empty(0, dtype=np.int64)
+    flat, offsets, lengths = _flat_offsets(hash_arrays)
+    out = np.zeros(len(hash_arrays), dtype=np.uint64)
+    old = np.seterr(over="ignore")
+    try:
+        for i in range(64):
+            bit = ((flat >> _U64(i)) & _U64(1)).astype(np.int64)
+            counts = np.add.reduceat(bit, offsets)
+            out |= (counts * 2 >= lengths).astype(np.uint64) << _U64(i)
+    finally:
+        np.seterr(**old)
+    return out.view(np.int64)
+
+
+def simhash_from_hashes(hashes: np.ndarray) -> int:
+    """Single-document SimHash (signed int64 scalar)."""
+    return int(batch_simhash([np.asarray(hashes, dtype=_U64)])[0])
+
+
+def _perm_seeds(perms: int, seed: int) -> np.ndarray:
+    old = np.seterr(over="ignore")
+    try:
+        base = (np.arange(1, perms + 1, dtype=_U64) * _SM_GAMMA) & _MASK64
+    finally:
+        np.seterr(**old)
+    return splitmix64(base ^ _U64(seed & 0xFFFFFFFFFFFFFFFF))
+
+
+def batch_minhash_signature(
+    hash_arrays: list[np.ndarray], perms: int, seed: int = 42
+) -> np.ndarray:
+    """Raw MinHash signatures, shape (n_docs, perms), int64.
+
+    Permutation i is ``min over shingles of splitmix64(h XOR seed_i)`` —
+    one vectorized mix + ``np.minimum.reduceat`` per permutation.
+    """
+    if not hash_arrays:
+        return np.empty((0, perms), dtype=np.int64)
+    flat, offsets, _ = _flat_offsets(hash_arrays)
+    seeds = _perm_seeds(perms, seed)
+    sig = np.empty((len(hash_arrays), perms), dtype=_U64)
+    for i in range(perms):
+        sig[:, i] = np.minimum.reduceat(splitmix64(flat ^ seeds[i]), offsets)
+    return sig.view(np.int64)
+
+
+def bands_from_signature(sig: np.ndarray, bands: int) -> np.ndarray:
+    """Fold a (n_docs, perms) signature into (n_docs, bands) bucket keys.
+
+    Two documents share an LSH bucket iff some (band_index, value) pair
+    matches — the distributed analog of the reference's neighbor-search
+    index (data/naive.rs:26-40; the BK-tree/n-gram variants are
+    advertised-unimplemented, cli.rs:41-44).
+    """
+    sig_u = sig.view(_U64) if sig.dtype == np.int64 else sig.astype(_U64)
+    n_docs, perms = sig_u.shape
+    r = perms // bands
+    band_vals = np.zeros((n_docs, bands), dtype=_U64)
+    old = np.seterr(over="ignore")
+    try:
+        for b in range(bands):
+            acc = np.full(n_docs, _U64(0x243F6A8885A308D3))  # pi fractional bits
+            for j in range(r):
+                acc = splitmix64((acc ^ sig_u[:, b * r + j]) + _U64(b * r + j + 1))
+            band_vals[:, b] = acc
+    finally:
+        np.seterr(**old)
+    return band_vals.view(np.int64)
+
+
+def batch_minhash_bands(
+    hash_arrays: list[np.ndarray], perms: int, bands: int, seed: int = 42
+) -> np.ndarray:
+    """Banded MinHash bucket keys, shape (n_docs, bands), int64."""
+    return bands_from_signature(batch_minhash_signature(hash_arrays, perms, seed), bands)
+
+
+def hamming64(a: int, b: int) -> int:
+    """Popcount Hamming distance between two signed-int64 simhashes."""
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def signature_similarity(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """Fraction of equal MinHash positions (unbiased Jaccard estimate)."""
+    sig_a = np.asarray(sig_a)
+    sig_b = np.asarray(sig_b)
+    return float((sig_a == sig_b).mean())
+
+
+def normalize_text_py(text: str | None) -> str:
+    """Pure-Python mirror of the Spark/DuckDB normalization expression:
+    lower -> collapse whitespace -> trim.  Must stay in lock-step with
+    functions/normalize.py and the oracle SQL in __spark_entry__.py."""
+    if text is None:
+        return ""
+    return re.sub(r"\s+", " ", text.lower()).strip()

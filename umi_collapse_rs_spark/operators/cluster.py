@@ -1,0 +1,196 @@
+"""Stage 6 — clustering as iterative DataFrame algebra.
+
+Reference analog: ``Algorithm::apply`` (``/root/reference/src/algo/
+mod.rs:13-20``) with the three rules:
+
+- ``dir``  directional greedy DFS (directional.rs:30-91)
+- ``adj``  adjacency one-hop greedy (adjacency.rs:29-64)
+- ``cc``   connected components (advertised-unimplemented in the
+           reference, cli.rs:33-36 — but the native Spark formulation)
+
+Greedy-fidelity (SURVEY §2.1 D1).  The reference processes nodes in
+priority order p(n) = (freq desc, tiebreak) and DFS-absorbs gated
+neighbors, deleting as it goes.  Because the directional gate is
+edge-local (threshold depends only on the *visited* node's frequency,
+directional.rs:38), one can prove:
+
+    cluster(n) = argmin_{priority} { u : u == n, or u gated-reaches n }
+
+(any absorbed would-be reacher is dominated by its own absorber, which
+also reaches n — induction over priority order).  That is exactly
+*minimum-label propagation* over the directed gated edge list, which is
+what ``propagate_min_label`` computes, with pointer-jumping
+(label <- label(label)) for O(log n) convergence.  The label key is
+``struct(-freq, id)`` so min == the reference's processing order, with
+the deterministic tie-break the reference lacks (D3).
+
+Every iteration ends in ``localCheckpoint`` to truncate lineage —
+without it the plan doubles each round and Catalyst analysis blows up
+(the Spark equivalent of the reference's arena bulk-drop concern,
+README.md:31-32).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _label_init(nodes: DataFrame, id_col: str) -> DataFrame:
+    return nodes.select(
+        F.col(id_col).alias("_nid"),
+        F.struct(
+            (-F.col("freq")).cast("long").alias("nf"), F.col(id_col).alias("lid")
+        ).alias("label"),
+    )
+
+
+def propagate_min_label(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "url",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Min-label propagation over directed edges (src -> dst).
+
+    ``nodes``: (id_col, freq).  ``edges``: (src, dst) directed.
+    Returns (id_col, root_id) — root_id is the id of the cluster's
+    highest-priority node (max freq, then lexicographically min id).
+
+    Per round: (1) each node takes the min of its own label and its
+    in-neighbors' labels (one join + one groupBy); (2) pointer jump —
+    each node also takes its current root's label (one self-join).
+    Both steps preserve the invariant "label(n) reaches n", so the
+    fixpoint is the true min over ancestors; pointer jumping makes deep
+    chains converge in O(log depth) rounds.
+    """
+    labels = _label_init(nodes, id_col).localCheckpoint(eager=True)
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        incoming = (
+            edges.join(labels, edges["src"] == labels["_nid"])
+            .select(F.col("dst").alias("_nid"), "label")
+        )
+        combined = (
+            labels.unionByName(incoming).groupBy("_nid").agg(F.min("label").alias("label"))
+        )
+        roots = combined.select(
+            F.col("_nid").alias("_rid"), F.col("label").alias("_rlabel")
+        )
+        jumped = (
+            combined.join(roots, combined["label"]["lid"] == roots["_rid"], "left")
+            .select(
+                "_nid",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_rlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "_nid")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(F.col("_nid").alias(id_col), F.col("label")["lid"].alias("root_id"))
+
+
+def connected_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "url",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Undirected connected components = min-label propagation over the
+    symmetrized edge list.  This is the reference's advertised-but-absent
+    ``cc`` rule (cli.rs:33-36) — and the upstream-Java semantics of
+    ``adjacency`` without frequency gating."""
+    sym = pairs.select("src", "dst").unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return propagate_min_label(nodes, sym, id_col, max_iterations)
+
+
+def adjacency_assign(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "url",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """One-hop greedy adjacency (upstream-Java semantics; SURVEY §2 C2).
+
+    Greedy order: nodes processed by (freq desc, id asc); a live node
+    becomes a root and absorbs its still-live *direct* neighbors only
+    (no recursion, adjacency.rs:29-64).  Resolved by frontier peeling:
+
+    - frontier = live nodes with no higher-priority live neighbor
+      (an adjacency antichain — frontier members never interact, so the
+      round resolves them simultaneously without order effects);
+    - a frontier node with a higher-priority *root* neighbor is absorbed
+      by the first-processed (min-key) such root; otherwise it is a root.
+
+    This reproduces the sequential greedy exactly: when a node's better
+    neighbors are all resolved, the first adjacent live root in key
+    order is precisely its greedy absorber.  Rounds are bounded by the
+    longest key-decreasing path (typically tiny for dedup graphs).
+
+    Note D2: the Rust reference's adj passes max_freq=0 (adjacency.rs:56)
+    and therefore only absorbs exact-duplicate fingerprints — after our
+    stage-2 exact collapse that is a no-op, so this implements the
+    documented upstream semantics and records the divergence.
+    """
+    sym = (
+        pairs.select("src", "dst")
+        .unionByName(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+    key = F.struct((-F.col("freq")).cast("long").alias("nf"), F.col(id_col).alias("lid"))
+    live = nodes.select(F.col(id_col).alias("_nid"), key.alias("key")).localCheckpoint(
+        eager=True
+    )
+    roots = live.limit(0).select("_nid", "key")  # accumulated root set
+    assigned_parts: list[DataFrame] = []
+    for _ in range(max_iterations):
+        if live.isEmpty():
+            break
+        live_keyed_src = live.select(F.col("_nid").alias("src"), F.col("key").alias("src_key"))
+        live_dst = live.select(F.col("_nid").alias("dst"), F.col("key").alias("dst_key"))
+        # better-priority LIVE neighbors block resolution
+        blocked = (
+            sym.join(live_keyed_src, "src")
+            .join(live_dst, "dst")
+            .filter(F.col("src_key") < F.col("dst_key"))
+            .select(F.col("dst").alias("_nid"))
+            .distinct()
+        )
+        frontier = live.join(blocked, "_nid", "left_anti")
+        # min-key higher-priority ROOT neighbor, if any -> absorber
+        root_src = roots.select(F.col("_nid").alias("src"), F.col("key").alias("root_key"))
+        absorber = (
+            sym.join(root_src, "src")
+            .join(frontier.select(F.col("_nid").alias("dst"), F.col("key").alias("dst_key")), "dst")
+            .filter(F.col("root_key") < F.col("dst_key"))
+            .groupBy("dst")
+            .agg(F.min("root_key").alias("root_key"))
+            .select(F.col("dst").alias("_nid"), F.col("root_key")["lid"].alias("root_id"))
+        )
+        new_roots = frontier.join(absorber.select("_nid"), "_nid", "left_anti").localCheckpoint(
+            eager=True
+        )
+        done = new_roots.select("_nid", F.col("_nid").alias("root_id")).unionByName(
+            absorber
+        ).localCheckpoint(eager=True)
+        assigned_parts.append(done)
+        roots = roots.unionByName(new_roots).localCheckpoint(eager=True)
+        live = live.join(done.select("_nid"), "_nid", "left_anti").localCheckpoint(eager=True)
+    if not assigned_parts:
+        return nodes.select(F.col(id_col), F.col(id_col).alias("root_id")).limit(0)
+    out = assigned_parts[0]
+    for p in assigned_parts[1:]:
+        out = out.unionByName(p)
+    return out.select(F.col("_nid").alias(id_col), "root_id")

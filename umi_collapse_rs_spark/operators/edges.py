@@ -1,0 +1,100 @@
+"""Stage 5 — edge construction: union pair sources, verify, gate.
+
+Reference analog: the eligibility predicate inside ``remove_near``
+(``/root/reference/src/data/naive.rs:31``):
+``dist <= k && (dist == 0 || freq <= max_freq)`` where directional
+clustering passes ``max_freq = (p * (freq_parent + 1)) as i32``
+(``directional.rs:38``, p defaults to 0.5, cli.rs:25-26) — the UMI-tools
+rule ``2*f_child <= f_parent + 1``, f32 truncation included (SURVEY
+§2.1 D5).  The gate is reproduced here exactly, as a Column expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def union_pairs(
+    pair_dfs: list[DataFrame],
+    fp: DataFrame,
+    jaccard_threshold: float,
+    id_col: str = "url",
+) -> DataFrame:
+    """Union candidate-pair sources, dedup (src < dst invariant), and
+    verify the LSH-sourced pairs by MinHash signature similarity.
+
+    ``fp`` needs (id_col, mh_sig: array<long>).  SimHash pairs arrive
+    already Hamming-verified; window pairs are accepted outright (they
+    share >= min_shared verbatim 64-token windows — stronger evidence
+    than a global-Jaccard estimate, which is exactly the signal LSH
+    misses on long-overlap-in-long-doc pairs).
+
+    The signature join happens on candidate PAIRS (a small fraction of
+    the corpus), never all-pairs; ``sig_sim`` is a zip_with/filter
+    Column expression, JVM-side.
+    """
+    all_pairs = pair_dfs[0]
+    for p in pair_dfs[1:]:
+        all_pairs = all_pairs.unionByName(p)
+    # one row per pair; keep the strongest source for provenance
+    # (simhash < minhash < window alphabetically is NOT meaningful; use
+    # explicit rank: simhash pairs carry dist, others don't)
+    best = all_pairs.groupBy("src", "dst").agg(
+        F.array_sort(F.collect_set("source")).alias("sources"),
+    )
+    side_a = fp.select(
+        F.col(id_col).alias("src"), F.col("mh_sig").alias("_sig_a"), F.col("simhash").alias("_sh_a")
+    )
+    side_b = fp.select(
+        F.col(id_col).alias("dst"), F.col("mh_sig").alias("_sig_b"), F.col("simhash").alias("_sh_b")
+    )
+    with_sig = best.join(side_a, "src").join(side_b, "dst")
+    n_eq = F.size(
+        F.filter(
+            F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
+            lambda b: b,
+        )
+    )
+    sig_sim = n_eq / F.size("_sig_a")
+    verified = (
+        with_sig.withColumn("sig_sim", sig_sim)
+        # dist always populated: the directional rule needs dist==0 to
+        # absorb identical fingerprints unconditionally (naive.rs:31)
+        .withColumn("dist", F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))))
+        .filter(
+            F.array_contains("sources", "simhash")
+            | F.array_contains("sources", "window")
+            | (F.col("sig_sim") >= F.lit(jaccard_threshold))
+        )
+    )
+    return verified.select("src", "dst", "dist", "sources", "sig_sim")
+
+
+def directional_edges(pairs: DataFrame, fp: DataFrame, p: float = 0.5, id_col: str = "url") -> DataFrame:
+    """Directed parent->child edges under the reference's exact gate.
+
+    For an undirected verified pair (a, b) with exact-dup frequencies
+    (f_a, f_b), emit a->b iff ``dist == 0 OR f_b <= trunc(p * (f_a + 1))``
+    — byte-for-byte the reference's predicate (naive.rs:31:
+    ``dist <= k && (dist == 0 || freq <= max_freq)`` with
+    ``max_freq = (p * (f+1)) as i32``, directional.rs:38; the threshold
+    is recomputed from *each visited node's own frequency*, which makes
+    the gate edge-local and therefore expressible as a static edge
+    filter; see SURVEY §2.1 D1/D5).  With p=0.5 the gate is
+    ``2*f_b <= f_a + 1``.
+
+    Returns (src, dst) directed edges.
+    """
+    fa = fp.select(F.col(id_col).alias("src"), F.col("freq").alias("_f_src"))
+    fb = fp.select(F.col(id_col).alias("dst"), F.col("freq").alias("_f_dst"))
+    pf = pairs.join(fa, "src").join(fb, "dst")
+    # f32 truncation as in the reference: (p * (f+1)) as f32 as i32
+    thr_src = F.floor(F.lit(p) * (F.col("_f_src") + 1)).cast("long")
+    thr_dst = F.floor(F.lit(p) * (F.col("_f_dst") + 1)).cast("long")
+    zero = F.col("dist") == 0
+    fwd = pf.filter(zero | (F.col("_f_dst") <= thr_src)).select("src", "dst")
+    bwd = pf.filter(zero | (F.col("_f_src") <= thr_dst)).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    return fwd.unionByName(bwd)

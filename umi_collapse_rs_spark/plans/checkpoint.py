@@ -1,0 +1,61 @@
+"""Stage checkpointing for resumability (north_rule requirement).
+
+Each pipeline stage can persist its output as parquet under
+``<root>/<stage>/`` with Spark's ``_SUCCESS`` marker; a restarted run
+resumes at the first stage whose marker is missing.  The reference has
+no analog (its ``--two-pass`` low-memory flag is accepted but
+unimplemented, cli.rs:45-48); resumability here replaces stream state —
+the pipeline is batch, so checkpointed stage outputs ARE the recovery
+log.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class StageCheckpointer:
+    """Write-through stage cache keyed by stage name.
+
+    With ``root=None`` checkpointing is disabled and stages pass through
+    (tests / small runs).  ``runs`` records (stage, wall_ms, resumed).
+    """
+
+    def __init__(self, spark: SparkSession, root: str | None):
+        self.spark = spark
+        self.root = root
+        self.runs: list[dict] = []
+
+    def _path(self, stage: str) -> str:
+        assert self.root is not None
+        return os.path.join(self.root, stage)
+
+    def is_done(self, stage: str) -> bool:
+        if self.root is None:
+            return False
+        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+
+    def materialize(self, stage: str, build) -> DataFrame:
+        """Return the stage output, building + persisting it if needed.
+
+        ``build`` is a zero-arg callable returning the stage DataFrame.
+        """
+        t0 = time.monotonic()
+        if self.root is None:
+            # No persistent checkpoint: still cut the plan and materialize
+            # once — stage outputs feed many downstream subtrees (fp alone
+            # feeds 3 candidate generators + 4 verify/gate joins) and
+            # re-running the fingerprint UDFs per subtree would dominate.
+            df = build().localCheckpoint(eager=True)
+            self.runs.append({"stage": stage, "wall_ms": (time.monotonic() - t0) * 1e3, "resumed": False})
+            return df
+        path = self._path(stage)
+        if self.is_done(stage):
+            self.runs.append({"stage": stage, "wall_ms": 0.0, "resumed": True})
+            return self.spark.read.parquet(path)
+        build().write.mode("overwrite").parquet(path)
+        self.runs.append({"stage": stage, "wall_ms": (time.monotonic() - t0) * 1e3, "resumed": False})
+        return self.spark.read.parquet(path)

@@ -1,0 +1,165 @@
+"""The end-to-end dedup pipeline (SURVEY §7.1 stage list).
+
+Reference analog: ``deduplicate_and_merge`` (``/root/reference/src/
+deduplicate_sam.rs:72-269``) — ingest/filter/group/exact-collapse, then
+per-group clustering, then writes.  Here each phase is a DataFrame
+stage; the reference's serial per-group loop (its scalability ceiling —
+everything in one arena on one thread) becomes shuffle-partitioned
+dataflow with no driver-side per-group work.
+
+    stage 0  ingest      pages (url, warc_ts, html, text, lang)
+    stage 1  normalize   text_norm + text_sha            [codegen only]
+    stage 2  exact       exact-dup collapse -> reps+freq [1 shuffle]
+    stage 3  fingerprint simhash / minhash bands / sigs  [2 pandas UDFs]
+    stage 4  candidates  banded self-joins, skew-capped
+    stage 5  edges       verify + directional gate
+    stage 6  cluster     min-label propagation (dir|adj|cc)
+    stage 7  canonical   clusters table
+    stage 8  window      long-verbatim-overlap pairs (feeds stage 5)
+    stage 9  outputs     clusters / metrics / lineage
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from umi_collapse_rs_spark.config import DedupConfig
+from umi_collapse_rs_spark.functions.udfs import make_fingerprint_udfs
+from umi_collapse_rs_spark.operators.candidates import (
+    minhash_lsh_pairs,
+    simhash_band_pairs,
+    window_overlap_pairs,
+)
+from umi_collapse_rs_spark.operators.canonical import build_clusters_table
+from umi_collapse_rs_spark.operators.cluster import (
+    adjacency_assign,
+    connected_components,
+    propagate_min_label,
+)
+from umi_collapse_rs_spark.operators.edges import directional_edges, union_pairs
+from umi_collapse_rs_spark.operators.exact import exact_collapse, with_norm
+from umi_collapse_rs_spark.plans.checkpoint import StageCheckpointer
+
+
+@dataclass
+class DedupResult:
+    clusters: DataFrame        # (url, cluster_id, canonical_url, cluster_size, exact_dup_count)
+    canonical_pages: DataFrame # kept representatives (one row per cluster)
+    pairs: DataFrame           # verified near-dup pairs (src, dst, dist, sources, sig_sim)
+    metrics: DataFrame         # per-stage rows_in/rows_out/wall_ms
+    lineage: DataFrame         # (url, partition_id, checkpoint_epoch)
+    stage_metrics: list[dict] = field(default_factory=list)
+
+
+def run_dedup_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    cfg: DedupConfig = DedupConfig(),
+) -> DedupResult:
+    """Run the full near-duplicate pipeline on a pages DataFrame.
+
+    ``pages`` must have (url, warc_ts, text) and may have (html, lang).
+    Returns lazily-evaluated output DataFrames; with
+    ``cfg.checkpoint_dir`` set, intermediate stages persist to parquet
+    and a rerun resumes after the last completed stage.
+    """
+    ckpt = StageCheckpointer(spark, cfg.checkpoint_dir)
+    stage_metrics: list[dict] = []
+
+    def record(stage: str, t0: float, rows_in: int | None = None, rows_out: int | None = None):
+        stage_metrics.append(
+            {
+                "stage": stage,
+                "wall_ms": (time.monotonic() - t0) * 1e3,
+                "rows_in": rows_in,
+                "rows_out": rows_out,
+            }
+        )
+
+    simhash_udf, bands_udf, sig_udf = make_fingerprint_udfs(
+        cfg.shingle_k, cfg.minhash_perms, cfg.lsh_bands, cfg.hash_seed
+    )
+
+    # stages 1-2: normalize + exact collapse
+    pages_norm = with_norm(pages)
+    reps, members = exact_collapse(pages_norm)
+    reps = ckpt.materialize("s2_exact_reps", lambda: reps)
+    members = ckpt.materialize("s2_exact_members", lambda: members)
+
+    # stage 3: fingerprints (the only Python in the pipeline)
+    def build_fp() -> DataFrame:
+        return reps.select(
+            "url",
+            "freq",
+            "text_norm",
+            simhash_udf("text_norm").alias("simhash"),
+            bands_udf("text_norm").alias("mh_bands"),
+            sig_udf("text_norm").alias("mh_sig"),
+        )
+
+    fp = ckpt.materialize("s3_fingerprints", build_fp)
+
+    # stage 4: candidate pairs (simhash banding + minhash LSH + windows)
+    def build_pairs() -> DataFrame:
+        sim_pairs = simhash_band_pairs(
+            fp, cfg.hamming_k, cfg.simhash_bands, cfg.bucket_pair_cap, cfg.chain_width
+        )
+        mh_pairs = minhash_lsh_pairs(fp, cfg.bucket_pair_cap, cfg.chain_width)
+        win_pairs = window_overlap_pairs(
+            fp,
+            cfg.window_tokens,
+            cfg.window_stride,
+            cfg.min_shared_windows,
+            cfg.bucket_pair_cap,
+            cfg.chain_width,
+        )
+        # stage 5a: union + verify
+        return union_pairs([sim_pairs, mh_pairs, win_pairs], fp, cfg.jaccard_threshold)
+
+    pairs = ckpt.materialize("s5_verified_pairs", build_pairs)
+
+    # stage 6: clustering
+    nodes = fp.select("url", "freq")
+    t0 = time.monotonic()
+    if cfg.algo == "dir":
+        gated = directional_edges(pairs, fp, cfg.directional_p)
+        assignments = propagate_min_label(nodes, gated, "url", cfg.max_cc_iterations)
+    elif cfg.algo == "cc":
+        assignments = connected_components(nodes, pairs, "url", cfg.max_cc_iterations)
+    else:  # adj
+        assignments = adjacency_assign(nodes, pairs, "url", cfg.max_cc_iterations)
+    record("s6_cluster", t0)
+
+    # stage 7: clusters table over every input url
+    clusters = build_clusters_table(members, reps, assignments)
+    clusters = ckpt.materialize("s7_clusters", lambda: clusters)
+
+    canonical_pages = (
+        clusters.filter(F.col("url") == F.col("canonical_url"))
+        .select("url", "cluster_id", "cluster_size")
+        .join(pages_norm.select("url", "warc_ts", "text", "lang"), "url", "left")
+    )
+
+    # stage 9: metrics + lineage
+    lineage = members.select(
+        "url",
+        F.spark_partition_id().alias("partition_id"),
+        F.lit(0).alias("checkpoint_epoch"),
+    )
+    metrics = pages_norm.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count(F.lit(1)).alias("rows_in"),
+        F.count_if(F.length("text_norm") == 0).alias("empty_text_rows"),
+    )
+    stage_metrics.extend(ckpt.runs)
+    return DedupResult(
+        clusters=clusters,
+        canonical_pages=canonical_pages,
+        pairs=pairs,
+        metrics=metrics,
+        lineage=lineage,
+        stage_metrics=stage_metrics,
+    )
