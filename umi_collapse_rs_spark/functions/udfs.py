@@ -28,6 +28,35 @@ from pyspark.sql import types as T
 from umi_collapse_rs_spark.functions import fingerprint_core as core
 
 
+def make_combined_fingerprint_udf(shingle_k: int, perms: int, bands: int, seed: int):
+    """ONE pandas UDF computing all fingerprints in a single pass:
+    text_norm -> struct(simhash, mh_bands, mh_sig).
+
+    Tokenization + shingling is the expensive part; computing the three
+    outputs from one shingle-hash set per batch does it once instead of
+    three times (the pipeline's stage 3 uses this).
+    """
+    out_type = T.StructType(
+        [
+            T.StructField("simhash", T.LongType()),
+            T.StructField("mh_bands", T.ArrayType(T.LongType())),
+            T.StructField("mh_sig", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def fingerprint(text: pd.Series) -> pd.DataFrame:
+        hashes = core.batch_shingle_hashes(text.fillna("").tolist(), shingle_k, seed)
+        sim = core.batch_simhash(hashes)
+        sig = core.batch_minhash_signature(hashes, perms, seed)
+        bands_v = core.bands_from_signature(sig, bands)
+        return pd.DataFrame(
+            {"simhash": sim, "mh_bands": list(bands_v), "mh_sig": list(sig)}
+        )
+
+    return fingerprint
+
+
 def make_fingerprint_udfs(shingle_k: int, perms: int, bands: int, seed: int):
     """Build the fingerprint UDFs for a fixed shingle/signature config.
 

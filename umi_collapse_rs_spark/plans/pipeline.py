@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from umi_collapse_rs_spark.config import DedupConfig
-from umi_collapse_rs_spark.functions.udfs import make_fingerprint_udfs
+from umi_collapse_rs_spark.functions.udfs import make_combined_fingerprint_udf
 from umi_collapse_rs_spark.operators.candidates import (
     minhash_lsh_pairs,
     simhash_band_pairs,
@@ -80,7 +80,7 @@ def run_dedup_pipeline(
             }
         )
 
-    simhash_udf, bands_udf, sig_udf = make_fingerprint_udfs(
+    fp_udf = make_combined_fingerprint_udf(
         cfg.shingle_k, cfg.minhash_perms, cfg.lsh_bands, cfg.hash_seed
     )
 
@@ -93,12 +93,14 @@ def run_dedup_pipeline(
     # stage 3: fingerprints (the only Python in the pipeline)
     def build_fp() -> DataFrame:
         return reps.select(
+            "url", "freq", "text_norm", fp_udf("text_norm").alias("_fp")
+        ).select(
             "url",
             "freq",
             "text_norm",
-            simhash_udf("text_norm").alias("simhash"),
-            bands_udf("text_norm").alias("mh_bands"),
-            sig_udf("text_norm").alias("mh_sig"),
+            F.col("_fp.simhash").alias("simhash"),
+            F.col("_fp.mh_bands").alias("mh_bands"),
+            F.col("_fp.mh_sig").alias("mh_sig"),
         )
 
     fp = ckpt.materialize("s3_fingerprints", build_fp)
