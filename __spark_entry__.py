@@ -3,36 +3,566 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Catalog layout mirrors SURVEY.md §2's operator inventory; every
+relational operator has a DuckDB oracle.  Genuinely non-SQL ops
+(pandas-UDF fingerprints, LSH candidate generation, the full clustering
+pipeline) are rows-only checked here and oracle-checked in tests/
+against the pure-Python reference-semantics oracle instead.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# odd multiplier spreading small ints across ~58 bits; safe from int64
+# overflow for n_chars <= 6e4 (Spark 4 runs ANSI mode: overflow throws)
+_SPREAD_K = 152851387439217
+
+_EN = r"\b(the|and|of|to|a)\b"
+_DE = r"\b(der|die|das|und|ist)\b"
+_FR = r"\b(le|la|les|et|est)\b"
+_CJK = "[一-鿿]"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents table reshaped to the pages schema (input_hint)."""
+    return _t(spark, sf_dir, "documents").select(
+        F.format_string("doc://%07d", "doc_id").alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id") * 17).alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational operators (oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_collapse(spark, sf_dir):
+    """SURVEY §2 A1/A2: exact-dup collapse by normalized text."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return (
+        d.select(F.sha2(norm, 256).alias("text_sha"), "doc_id")
+        .groupBy("text_sha")
+        .agg(F.count(F.lit(1)).alias("freq"), F.min("doc_id").alias("rep_doc_id"))
+    )
+
+
+def q_merge_rule_best(spark, sf_dir):
+    """SURVEY §2 A3-A5: merge rule = argmax per group w/ deterministic
+    tie-break (max n_chars, then min doc_id) via max_by struct."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.max_by(
+                F.col("doc_id"), F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd"))
+            ).alias("best_doc_id"),
+            F.max("n_chars").alias("max_chars"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def q_filter_stats(spark, sf_dir):
+    """SURVEY §2 F1-F3 + A6: filters as counters (global stats)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(F.col("n_chars") > 400).alias("n_long"),
+        F.count_if(F.col("lang") == "en").alias("n_en"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def q_grouped_stats(spark, sf_dir):
+    """SURVEY §2 A6: per-group stats (unique positions / max UMIs analog)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+def q_semi_join(spark, sf_dir):
+    """SURVEY §2 J4/S3: mate-recovery semi-join analog."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    """SURVEY §2 J5: unclustered = unique pages analog (anti join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_acctbal"
+    )
+
+
+def q_window_rank(spark, sf_dir):
+    """SURVEY §2 O1: per-group rank by freq desc w/ total order."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "doc_id", "n_chars", "rnk")
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """SURVEY §2 set ops: unionByName + dropDuplicates."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("lang") == "en").select("doc_id", "source")
+    b = d.filter(F.col("n_chars") < 100).select("doc_id", "source")
+    return a.unionByName(b).dropDuplicates(["doc_id"]).select("doc_id", "source")
+
+
+def q_hamming_self_join(spark, sf_dir):
+    """SURVEY §2 J1/J2: banded Hamming self-join, oracle = brute force.
+
+    Fingerprint = n_chars * K (SQL-computable on both engines) so the
+    banding/verify machinery is checked end-to-end against a full
+    O(n^2) scan."""
+    from umi_collapse_rs_spark.operators.candidates import simhash_band_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        F.col("doc_id"), (F.col("n_chars") * F.lit(_SPREAD_K)).alias("simhash"), F.lit(1).alias("freq")
+    )
+    return simhash_band_pairs(
+        fp, hamming_k=3, bands=4, cap=1_000_000, chain_width=4, id_col="doc_id"
+    ).select("src", "dst", "dist")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Training-data dedup: exact token-set Jaccard >= 0.5 within
+    (lang, source) blocks — the n-gram Jaccard near-dup operator."""
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    tok = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.array_distinct(F.split(F.lower("text"), r"\s+"))).alias("tok"),
+    )
+    cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select(F.col("doc_id").alias("src"), "lang", "source", "tok")
+    b = tok.select(F.col("doc_id").alias("dst"), "lang", "source", "tok")
+    inter = (
+        a.join(b, ["lang", "source", "tok"])
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = cnt.select(F.col("doc_id").alias("src"), F.col("n").alias("na"))
+    nb = cnt.select(F.col("doc_id").alias("dst"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "src")
+        .join(nb, "dst")
+        .withColumn("jac", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jac") >= 0.5)
+        .select("src", "dst", F.round("jac", 4).alias("jaccard"))
+    )
+
+
+def q_token_count(spark, sf_dir):
+    """Text analysis: whitespace token counting."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    return d.select("doc_id", n_tok.alias("n_tokens"))
+
+
+def q_quality_score(spark, sf_dir):
+    """Text analysis: quality scoring (length/punct/stopword ratios)."""
+    d = _t(spark, sf_dir, "documents")
+    low = F.lower("text")
+    n_tok = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    punct = F.length(F.regexp_replace("text", r"[^.!?,;]", ""))
+    sw = F.regexp_count(low, F.lit(_EN))
+    d2 = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(punct / F.greatest(F.length("text"), F.lit(1)), 4).alias("punct_ratio"),
+        F.round(sw / F.greatest(n_tok, F.lit(1)), 4).alias("stopword_ratio"),
+    )
+    return d2.withColumn(
+        "quality",
+        F.round(
+            F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+            * (1 - F.col("punct_ratio")),
+            4,
+        ),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """Text analysis: n-gram/stopword language-ID heuristic."""
+    d = _t(spark, sf_dir, "documents")
+    low = F.lower("text")
+    en, de, fr = (F.regexp_count(low, F.lit(p)) for p in (_EN, _DE, _FR))
+    cjk = F.regexp_count("text", F.lit(_CJK))
+    d2 = d.select(
+        "doc_id",
+        en.alias("en_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        cjk.alias("cjk_hits"),
+    )
+    pred = (
+        F.when(F.col("cjk_hits") > 0, "zh")
+        .when(
+            (F.col("en_hits") >= F.col("de_hits")) & (F.col("en_hits") >= F.col("fr_hits")),
+            "en",
+        )
+        .when(F.col("de_hits") >= F.col("fr_hits"), "de")
+        .otherwise("fr")
+    )
+    return d2.withColumn("predicted_lang", pred)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Text analysis: stable document fingerprint (sha256 of raw text)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.sha2(F.col("text"), 256).alias("fp"))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary column + typed metadata
+    (byte length, content hash) — the decode step itself is stubbed
+    (see umi_collapse_rs_spark/functions/multimodal.py)."""
+    d = _t(spark, sf_dir, "documents")
+    blob = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.sha2(blob, 256).alias("content_sha"),
+    )
+
+
+def q_event_window_agg(spark, sf_dir):
+    """Streaming analog (batch form): hourly tumbling-window aggregate.
+    The same plan runs under Structured Streaming via readStream."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Similarity search: brute-force cosine top-3 neighbors for the
+    first 10 query vectors (the exact baseline an IVF/LSH path is
+    measured against)."""
+    e = _t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    pairs = (
+        qv.crossJoin(e)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("sim", dot / (nrm(F.col("qe")) * nrm(F.col("embedding"))))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("qid", F.col("vec_id").alias("neighbor_id"), F.round("sim", 4).alias("cos_sim"), "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible ops (rows-only driver check; oracle-checked in tests/)
+# ---------------------------------------------------------------------------
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    """SURVEY §2 P1/X3: text -> 64-bit SimHash (pandas UDF)."""
+    from umi_collapse_rs_spark.functions.udfs import make_combined_fingerprint_udf
+
+    udf = make_combined_fingerprint_udf(3, 128, 32, 42)
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return d.select("doc_id", udf(norm).alias("_fp")).select(
+        "doc_id", F.col("_fp.simhash").alias("simhash")
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """SURVEY §2 J1: MinHash-LSH candidate pairs over documents."""
+    from umi_collapse_rs_spark.functions.udfs import make_combined_fingerprint_udf
+    from umi_collapse_rs_spark.operators.candidates import minhash_lsh_pairs
+
+    udf = make_combined_fingerprint_udf(3, 128, 32, 42)
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    fp = d.select(F.col("doc_id").alias("url"), udf(norm).alias("_fp")).select(
+        "url", F.col("_fp.simhash").alias("simhash"), F.col("_fp.mh_bands").alias("mh_bands")
+    )
+    return minhash_lsh_pairs(fp, cap=64, chain_width=4).select("src", "dst")
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """The flagship: full near-dup pipeline (SURVEY §7.1) over the
+    documents table reshaped to pages."""
+    from umi_collapse_rs_spark.config import DedupConfig
+    from umi_collapse_rs_spark.plans.pipeline import run_dedup_pipeline
+
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_dedup_pipeline(spark, pages, DedupConfig())
+    return res.clusters
+
+
+def q_embedding_lsh_ann(spark, sf_dir):
+    """Similarity search, scale path: random-hyperplane LSH bucketing +
+    within-bucket cosine — the distributed ANN variant."""
+    from umi_collapse_rs_spark.functions.embeddings import hyperplane_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_topk(e, "vec_id", "embedding", n_planes=8, k=3, seed=42)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_dedup_clusters(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exact_collapse": q_exact_collapse,
+        "merge_rule_best": q_merge_rule_best,
+        "filter_stats": q_filter_stats,
+        "grouped_stats": q_grouped_stats,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "window_rank": q_window_rank,
+        "set_ops": q_set_ops,
+        "hamming_self_join": q_hamming_self_join,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_meta": q_multimodal_meta,
+        "event_window_agg": q_event_window_agg,
+        "cosine_topk": q_cosine_topk,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "embedding_lsh_ann": q_embedding_lsh_ann,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_collapse": """
+            SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_sha,
+                   count(*) AS freq,
+                   min(doc_id) AS rep_doc_id
+            FROM documents
+            GROUP BY 1
+        """,
+        "merge_rule_best": """
+            WITH ranked AS (
+                SELECT lang, source, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY lang, source
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents
+            )
+            SELECT r.lang, r.source, r.doc_id AS best_doc_id,
+                   m.max_chars, m.n_docs
+            FROM ranked r
+            JOIN (SELECT lang, source, max(n_chars) AS max_chars,
+                         count(*) AS n_docs
+                  FROM documents GROUP BY 1, 2) m
+              USING (lang, source)
+            WHERE r.rn = 1
+        """,
+        "filter_stats": """
+            SELECT count(*) AS n_total,
+                   count(*) FILTER (n_chars > 400) AS n_long,
+                   count(*) FILTER (lang = 'en') AS n_en,
+                   count(DISTINCT lang) AS n_langs,
+                   count(DISTINCT source) AS n_sources
+            FROM documents
+        """,
+        "grouped_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_chars), 2) AS avg_chars,
+                   max(n_chars) AS max_chars,
+                   count(DISTINCT source) AS n_sources
+            FROM documents GROUP BY lang
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 100000)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_acctbal FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+        """,
+        "window_rank": """
+            SELECT lang, doc_id, n_chars, rnk FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rnk
+                FROM documents) t
+            WHERE rnk <= 3
+        """,
+        "set_ops": """
+            SELECT doc_id, min(source) AS source FROM (
+                SELECT doc_id, source FROM documents WHERE lang = 'en'
+                UNION ALL
+                SELECT doc_id, source FROM documents WHERE n_chars < 100
+            ) u GROUP BY doc_id
+        """,
+        "hamming_self_join": f"""
+            WITH f AS (SELECT doc_id, n_chars * {_SPREAD_K} AS fp FROM documents)
+            SELECT a.doc_id AS src, b.doc_id AS dst,
+                   bit_count(xor(a.fp, b.fp)) AS dist
+            FROM f a JOIN f b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        """,
+        "ngram_jaccard": """
+            WITH d AS (SELECT * FROM documents WHERE length(trim(text)) > 0),
+            tok AS (
+                SELECT DISTINCT doc_id, lang, source,
+                       unnest(string_split_regex(lower(text), '\\s+')) AS tok
+                FROM d
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i
+                FROM tok a JOIN tok b
+                  ON a.tok = b.tok AND a.lang = b.lang AND a.source = b.source
+                 AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT src, dst,
+                   round(i / (na.n + nb.n - i), 4) AS jaccard
+            FROM inter
+            JOIN cnt na ON na.doc_id = src
+            JOIN cnt nb ON nb.doc_id = dst
+            WHERE i / (na.n + nb.n - i) >= 0.5
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                       length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS punct,
+                       len(regexp_extract_all(lower(text), '{_EN}')) AS sw,
+                       length(text) AS L
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   round(punct / greatest(L, 1), 4) AS punct_ratio,
+                   round(sw / greatest(n_tokens, 1), 4) AS stopword_ratio,
+                   round(least(n_tokens / 100.0, 1.0) * (1 - round(punct / greatest(L, 1), 4)), 4) AS quality
+            FROM b
+        """,
+        "lang_id": f"""
+            WITH h AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(lower(text), '{_EN}')) AS en_hits,
+                       len(regexp_extract_all(lower(text), '{_DE}')) AS de_hits,
+                       len(regexp_extract_all(lower(text), '{_FR}')) AS fr_hits,
+                       len(regexp_extract_all(text, '{_CJK}')) AS cjk_hits
+                FROM documents
+            )
+            SELECT doc_id, en_hits, de_hits, fr_hits, cjk_hits,
+                   CASE WHEN cjk_hits > 0 THEN 'zh'
+                        WHEN en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                        WHEN de_hits >= fr_hits THEN 'de'
+                        ELSE 'fr' END AS predicted_lang
+            FROM h
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, sha256(text) AS fp FROM documents
+        """,
+        "multimodal_meta": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS content_sha
+            FROM documents
+        """,
+        "event_window_agg": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+            pairs AS (
+                SELECT q.qid, e.vec_id,
+                       list_sum(list_transform(list_zip(q.qe, e.embedding),
+                                x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                       / (sqrt(list_sum(list_transform(q.qe, v -> v::DOUBLE * v::DOUBLE)))
+                          * sqrt(list_sum(list_transform(e.embedding, v -> v::DOUBLE * v::DOUBLE)))) AS sim
+                FROM q, embeddings e
+                WHERE e.vec_id != q.qid
+            ),
+            ranked AS (
+                SELECT qid, vec_id, sim,
+                       row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) AS rnk
+                FROM pairs
+            )
+            SELECT qid, vec_id AS neighbor_id, round(sim, 4) AS cos_sim, rnk
+            FROM ranked WHERE rnk <= 3
+        """,
+    }
