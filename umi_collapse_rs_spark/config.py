@@ -30,8 +30,9 @@ class DedupConfig:
 
     # --- substring-overlap pass (stage 8) ---
     window_tokens: int = 64     # fingerprint window width (tokens)
-    window_stride: int = 32     # hop; a >=512-token verbatim overlap shares >=13 windows
-    min_shared_windows: int = 8 # pair accepted when sharing this many window hashes
+    window_stride: int = 32     # anchor density; a >=512-token verbatim overlap shares ~14 windows
+    min_shared_windows: int = 3 # pair accepted when sharing this many window hashes
+                                # (one shared window is already 64 verbatim tokens)
 
     # --- clustering ---
     algo: str = "dir"           # 'dir' | 'adj' | 'cc'   (ref: cli.rs:33-36)

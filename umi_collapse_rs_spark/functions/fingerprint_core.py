@@ -125,6 +125,53 @@ def shingle_hashes(text: str, k: int, seed: int = 42) -> np.ndarray:
     return batch_shingle_hashes([text], k, seed)[0]
 
 
+def batch_window_hashes(
+    texts: list[str], window: int, stride: int, seed: int = 42
+) -> list[np.ndarray]:
+    """Content-defined window fingerprints (the substring pass, stage 8).
+
+    A window is a ``window``-token contiguous span whose start token's
+    hash is 0 mod ``stride`` — content-defined anchoring, so a shared
+    verbatim block yields identical window hashes in both documents
+    regardless of its offset (a fixed grid would miss misaligned
+    copies).  Documents shorter than ``window`` tokens return an empty
+    array.  A window's hash is the same position-salted fold as
+    k-shingles, with k=window — `window` shifted vector adds over the
+    batch's flat token-hash array, all numpy.
+    """
+    n = len(texts)
+    if n == 0:
+        return []
+    toks_per_doc = [tokenize(t if isinstance(t, str) else "") for t in texts]
+    lengths = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    out: list[np.ndarray] = [np.empty(0, dtype=np.int64)] * n
+    long_idx = np.nonzero(lengths >= window)[0]
+    if long_idx.size == 0:
+        return out
+    flat_tokens: list[str] = []
+    for i in long_idx:
+        flat_tokens.extend(toks_per_doc[i])
+    th = hash_strings(flat_tokens)
+    seed64 = _U64(seed & 0xFFFFFFFFFFFFFFFF)
+    old = np.seterr(over="ignore")
+    try:
+        L = len(th)
+        acc = np.zeros(L - window + 1, dtype=_U64)
+        for j in range(window):
+            acc = (acc + splitmix64(th[j : L - window + 1 + j] ^ _U64(j + 1))) & _MASK64
+        acc = splitmix64(acc ^ seed64)
+        anchor_ok = (th % _U64(stride)) == 0
+    finally:
+        np.seterr(**old)
+    start = 0
+    for i in long_idx:
+        ln = int(lengths[i])
+        valid = anchor_ok[start : start + ln - window + 1]
+        out[i] = np.unique(acc[start : start + ln - window + 1][valid]).view(np.int64)
+        start += ln
+    return out
+
+
 def _flat_offsets(hash_arrays: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     lengths = np.array([len(a) for a in hash_arrays], dtype=np.int64)
     assert (lengths > 0).all(), "every document must have >=1 shingle hash"

@@ -28,31 +28,45 @@ from pyspark.sql import types as T
 from umi_collapse_rs_spark.functions import fingerprint_core as core
 
 
-def make_combined_fingerprint_udf(shingle_k: int, perms: int, bands: int, seed: int):
+def make_combined_fingerprint_udf(
+    shingle_k: int,
+    perms: int,
+    bands: int,
+    seed: int,
+    window_tokens: int = 0,
+    window_stride: int = 32,
+):
     """ONE pandas UDF computing all fingerprints in a single pass:
-    text_norm -> struct(simhash, mh_bands, mh_sig).
+    text_norm -> struct(simhash, mh_bands, mh_sig[, win_hashes]).
 
-    Tokenization + shingling is the expensive part; computing the three
-    outputs from one shingle-hash set per batch does it once instead of
-    three times (the pipeline's stage 3 uses this).
+    Tokenization + shingling is the expensive part; computing all
+    outputs from one shingle-hash set per batch does it once.  With
+    ``window_tokens > 0`` the content-defined window fingerprints for
+    the substring-overlap pass are included (empty array for docs
+    shorter than the window).
     """
-    out_type = T.StructType(
-        [
-            T.StructField("simhash", T.LongType()),
-            T.StructField("mh_bands", T.ArrayType(T.LongType())),
-            T.StructField("mh_sig", T.ArrayType(T.LongType())),
-        ]
-    )
+    fields = [
+        T.StructField("simhash", T.LongType()),
+        T.StructField("mh_bands", T.ArrayType(T.LongType())),
+        T.StructField("mh_sig", T.ArrayType(T.LongType())),
+    ]
+    if window_tokens:
+        fields.append(T.StructField("win_hashes", T.ArrayType(T.LongType())))
+    out_type = T.StructType(fields)
 
     @F.pandas_udf(out_type)
     def fingerprint(text: pd.Series) -> pd.DataFrame:
-        hashes = core.batch_shingle_hashes(text.fillna("").tolist(), shingle_k, seed)
+        texts = text.fillna("").tolist()
+        hashes = core.batch_shingle_hashes(texts, shingle_k, seed)
         sim = core.batch_simhash(hashes)
         sig = core.batch_minhash_signature(hashes, perms, seed)
         bands_v = core.bands_from_signature(sig, bands)
-        return pd.DataFrame(
-            {"simhash": sim, "mh_bands": list(bands_v), "mh_sig": list(sig)}
-        )
+        out = {"simhash": sim, "mh_bands": list(bands_v), "mh_sig": list(sig)}
+        if window_tokens:
+            out["win_hashes"] = core.batch_window_hashes(
+                texts, window_tokens, window_stride, seed
+            )
+        return pd.DataFrame(out)
 
     return fingerprint
 

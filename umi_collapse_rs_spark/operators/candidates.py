@@ -39,27 +39,47 @@ def pairs_from_buckets(
     order_col: str,
     cap: int,
     chain_width: int,
+    dedup: bool = False,
 ) -> DataFrame:
     """Generate candidate (src, dst) pairs within buckets, skew-capped.
 
     ``bucketed`` must have ``bucket_cols + [id_col, order_col]``.
-    Returns distinct (src, dst) with src < dst.
+    Returns (src, dst) with src < dst; with ``dedup=False`` (default) a
+    pair may appear once per shared bucket — callers that union several
+    pair sources dedup ONCE at the union (one shuffle instead of one per
+    source).
+
+    Shuffle budget: exactly ONE exchange on bucket_cols.  Bucket sizes
+    come from a window count (not groupBy+join); small-bucket all-pairs
+    expansion is a same-key groupBy (no re-shuffle after the window) +
+    JVM array-combinatorics explode; capped buckets chain via lead()
+    over the same window partitioning.
     """
-    # No broadcast hint: the bucket-size side can be arbitrarily large at
-    # 100 TB; AQE converts to broadcast when it is actually small.
-    sizes = bucketed.groupBy(*bucket_cols).agg(F.count(F.lit(1)).alias("_bsz"))
-    with_sz = bucketed.join(sizes.filter(F.col("_bsz") > 1), bucket_cols)
+    w = Window.partitionBy(*bucket_cols)
+    sized = bucketed.withColumn("_bsz", F.count(F.lit(1)).over(w)).filter(F.col("_bsz") > 1)
 
-    small = with_sz.filter(F.col("_bsz") <= cap).drop("_bsz")
-    a = small.select(*bucket_cols, F.col(id_col).alias("src"))
-    b = small.select(*bucket_cols, F.col(id_col).alias("dst"))
-    small_pairs = a.join(b, bucket_cols).filter(F.col("src") < F.col("dst")).select("src", "dst")
+    # small buckets (<= cap): all pairs via collect_list + array combinatorics
+    small = (
+        sized.filter(F.col("_bsz") <= cap)
+        .groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
+    )
+    ids = F.col("_ids")
+    pair_arrays = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)), lambda y: F.struct(x.alias("src"), y.alias("dst"))
+            ),
+        )
+    )
+    small_pairs = small.select(F.explode(pair_arrays).alias("p")).select("p.src", "p.dst")
 
-    big = with_sz.filter(F.col("_bsz") > cap).drop("_bsz")
-    w = Window.partitionBy(*bucket_cols).orderBy(order_col, id_col)
-    chained = big.select(
+    # hot buckets (> cap): sorted-neighbor chaining, O(n * chain_width)
+    wo = Window.partitionBy(*bucket_cols).orderBy(order_col, id_col)
+    chained = sized.filter(F.col("_bsz") > cap).select(
         F.col(id_col).alias("src"),
-        *[F.lead(id_col, j).over(w).alias(f"_n{j}") for j in range(1, chain_width + 1)],
+        *[F.lead(id_col, j).over(wo).alias(f"_n{j}") for j in range(1, chain_width + 1)],
     )
     big_pairs = (
         chained.select(
@@ -72,7 +92,8 @@ def pairs_from_buckets(
             F.greatest("src", "dst").alias("dst"),
         )
     )
-    return small_pairs.unionByName(big_pairs).dropDuplicates(["src", "dst"])
+    out = small_pairs.unionByName(big_pairs)
+    return out.dropDuplicates(["src", "dst"]) if dedup else out
 
 
 def simhash_band_pairs(
@@ -110,6 +131,8 @@ def simhash_band_pairs(
         .join(b, "dst")
         .withColumn("dist", F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))))
         .filter(F.col("dist") <= hamming_k)
+        # dedup AFTER the Hamming filter: few survivors, tiny shuffle
+        .dropDuplicates(["src", "dst"])
         .select("src", "dst", "dist", F.lit("simhash").alias("source"))
     )
 
@@ -140,60 +163,56 @@ def minhash_lsh_pairs(
 
 def window_overlap_pairs(
     docs: DataFrame,
-    window_tokens: int,
-    window_stride: int,
     min_shared_windows: int,
     cap: int,
     chain_width: int,
     id_col: str = "url",
-    text_col: str = "text_norm",
+    win_col: str = "win_hashes",
 ) -> DataFrame:
     """Stage 8 — long-verbatim-overlap pairs via content-defined window
     fingerprints (the suffix-array substring pass of the north star,
     re-expressed scalably; no reference analog).
 
-    Window start positions are *content-defined* (token positions whose
-    hash = 0 mod stride), so a shared >=512-token block yields identical
-    windows in both documents regardless of its offset in each — the
-    alignment-robustness a grid of fixed strides would lack.  Everything
-    is built-in array lambdas + xxhash64: zero Python.
+    ``docs`` carries ``win_col: array<long>`` — content-defined window
+    hashes computed in the fingerprint UDF (fingerprint_core.
+    batch_window_hashes): window start positions are token positions
+    whose hash = 0 mod stride, so a shared >=512-token verbatim block
+    yields identical window hashes in both documents regardless of its
+    offset in each (a fixed stride grid would miss misaligned copies).
+
+    A pair is emitted when the documents share >= min_shared_windows
+    windows (each shared window is 64 verbatim tokens of evidence).
     """
-    toks = F.split(F.col(text_col), " ")
-    n = F.size(toks)
-    anchors = F.filter(
-        F.sequence(F.lit(0), n - window_tokens),
-        lambda i: F.pmod(F.xxhash64(F.get(toks, i)), F.lit(window_stride)) == 0,
+    exploded = docs.select(F.col(id_col), F.explode(win_col).alias("win_hash"))
+    w = Window.partitionBy("win_hash")
+    sized = exploded.withColumn("_bsz", F.count(F.lit(1)).over(w)).filter(F.col("_bsz") > 1)
+    # normal buckets: count shared windows per pair, keep evidence-rich pairs
+    members = (
+        sized.filter(F.col("_bsz") <= cap)
+        .groupBy("win_hash")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_ids"))
     )
-    win_hashes = F.transform(
-        anchors,
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window_tokens))),
+    ids = F.col("_ids")
+    pair_arrays = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)), lambda y: F.struct(x.alias("src"), y.alias("dst"))
+            ),
+        )
     )
-    exploded = (
-        docs.filter(n >= window_tokens)
-        .select(F.col(id_col), win_hashes.alias("_wh"))
-        .select(F.col(id_col), F.explode("_wh").alias("win_hash"))
-        .dropDuplicates([id_col, "win_hash"])
-    )
-    # count shared windows per pair; cap hot window hashes (boilerplate)
-    sizes = exploded.groupBy("win_hash").agg(F.count(F.lit(1)).alias("_bsz"))
-    pruned = exploded.join(
-        sizes.filter((F.col("_bsz") > 1) & (F.col("_bsz") <= cap)), "win_hash"
-    )
-    a = pruned.select("win_hash", F.col(id_col).alias("src"))
-    b = pruned.select("win_hash", F.col(id_col).alias("dst"))
     shared = (
-        a.join(b, "win_hash")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
+        members.select(F.explode(pair_arrays).alias("p"))
+        .groupBy("p.src", "p.dst")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared_windows)
     )
-    # oversized window buckets (> cap): pure boilerplate — chain instead
-    hot = exploded.join(sizes.filter(F.col("_bsz") > cap), "win_hash").drop("_bsz")
-    hot_pairs = pairs_from_buckets(hot, ["win_hash"], id_col, id_col, cap, chain_width)
+    # oversized window buckets (> cap): boilerplate — chain instead
+    hot_pairs = pairs_from_buckets(
+        sized.filter(F.col("_bsz") > cap), ["win_hash"], id_col, id_col, cap, chain_width
+    )
     return (
         shared.select("src", "dst")
         .unionByName(hot_pairs)
-        .dropDuplicates(["src", "dst"])
         .select("src", "dst", F.lit(None).cast("int").alias("dist"), F.lit("window").alias("source"))
     )

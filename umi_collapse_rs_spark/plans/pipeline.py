@@ -81,7 +81,12 @@ def run_dedup_pipeline(
         )
 
     fp_udf = make_combined_fingerprint_udf(
-        cfg.shingle_k, cfg.minhash_perms, cfg.lsh_bands, cfg.hash_seed
+        cfg.shingle_k,
+        cfg.minhash_perms,
+        cfg.lsh_bands,
+        cfg.hash_seed,
+        window_tokens=cfg.window_tokens,
+        window_stride=cfg.window_stride,
     )
 
     # stages 1-2: normalize + exact collapse
@@ -92,15 +97,18 @@ def run_dedup_pipeline(
 
     # stage 3: fingerprints (the only Python in the pipeline)
     def build_fp() -> DataFrame:
-        return reps.select(
+        # re-spread rows before the UDF: the exact-collapse output is
+        # partitioned by text_sha ranges whose byte sizes can skew; a
+        # straggler Arrow batch would serialize the whole stage
+        return reps.repartition(cfg.shuffle_partitions, "url").select(
             "url", "freq", "text_norm", fp_udf("text_norm").alias("_fp")
         ).select(
             "url",
             "freq",
-            "text_norm",
             F.col("_fp.simhash").alias("simhash"),
             F.col("_fp.mh_bands").alias("mh_bands"),
             F.col("_fp.mh_sig").alias("mh_sig"),
+            F.col("_fp.win_hashes").alias("win_hashes"),
         )
 
     fp = ckpt.materialize("s3_fingerprints", build_fp)
@@ -112,12 +120,7 @@ def run_dedup_pipeline(
         )
         mh_pairs = minhash_lsh_pairs(fp, cfg.bucket_pair_cap, cfg.chain_width)
         win_pairs = window_overlap_pairs(
-            fp,
-            cfg.window_tokens,
-            cfg.window_stride,
-            cfg.min_shared_windows,
-            cfg.bucket_pair_cap,
-            cfg.chain_width,
+            fp, cfg.min_shared_windows, cfg.bucket_pair_cap, cfg.chain_width
         )
         # stage 5a: union + verify
         return union_pairs([sim_pairs, mh_pairs, win_pairs], fp, cfg.jaccard_threshold)
