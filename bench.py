@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value", "unit": "sec", "queries": {name: sec}, "sf"}.
+
+The flagship measurement is the full near-dup pipeline over the
+deterministic fixture corpus sized to the sf tier (FIXTURES.md §5:
+sf0.1 -> 50k pages); `pages_per_sec` is the BASELINE.json throughput
+metric.  Scaling evidence (local[8] vs local[32], north_rule) is
+produced by tools/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _fixture_pages_for(sf_dir: str) -> int:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": 500, "sf0.01": 5_000, "sf0.1": 50_000}.get(name, 50_000)
+
+
+def _fixture_parquet(n_pages: int) -> str:
+    path = f"/tmp/ucs_bench_pages_{n_pages}.parquet"
+    if not os.path.exists(path):
+        from umi_collapse_rs_spark.fixtures import generate_pages
+
+        pdf, _ = generate_pages(n_pages)
+        pdf.to_parquet(
+            path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+    return path
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    sf = float(sf_name.replace("sf", "")) if sf_name.startswith("sf") else 0.1
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry_mod
+    from umi_collapse_rs_spark.config import DedupConfig
+    from umi_collapse_rs_spark.plans.pipeline import run_dedup_pipeline
+    from umi_collapse_rs_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    timings: dict[str, float] = {}
+
+    # --- flagship: full dedup pipeline on the fixture corpus ---
+    n_pages = _fixture_pages_for(sf_dir)
+    pages_path = _fixture_parquet(n_pages)
+    pages = spark.read.parquet(pages_path)
+    t0 = time.monotonic()
+    res = run_dedup_pipeline(spark, pages, DedupConfig())
+    n_clusters = res.clusters.select("canonical_url").distinct().count()
+    dt = time.monotonic() - t0
+    timings["dedup_pipeline_fixture"] = round(dt, 2)
+    pages_per_sec = round(n_pages / dt, 1)
+
+    # --- representative operator queries over the sf-dir tables ---
+    qs = entry_mod.queries()
+    for name in [
+        "dedup_clusters",
+        "exact_collapse",
+        "ngram_jaccard",
+        "hamming_self_join",
+        "minhash_lsh_pairs",
+        "simhash_fingerprints",
+        "cosine_topk",
+        "embedding_lsh_ann",
+        "event_window_agg",
+        "window_rank",
+        "semi_join",
+    ]:
+        t0 = time.monotonic()
+        # count() materializes the full result without driver collection
+        qs[name](spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 2)
+
+    total = round(sum(timings.values()), 2)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "fixture_pages": n_pages,
+                "fixture_clusters": n_clusters,
+                "pages_per_sec": pages_per_sec,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

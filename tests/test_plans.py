@@ -1,0 +1,76 @@
+"""Catalyst plan checks: the scan-level optimizations SURVEY §4 counts
+on must actually appear in the physical plan (pushdown, pruning,
+whole-stage codegen, broadcast)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def pages_path(tmp_path_factory):
+    from umi_collapse_rs_spark.fixtures import generate_pages
+
+    pdf, _ = generate_pages(300)
+    p = str(tmp_path_factory.mktemp("plans") / "pages.parquet")
+    pdf.to_parquet(p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    return p
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, pages_path):
+    df = spark.read.parquet(pages_path).filter(F.col("lang") == "en").select("url", "lang")
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "lang" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_column_pruning_reaches_parquet_scan(spark, pages_path):
+    """A 2-column projection must not read html/text bytes."""
+    df = spark.read.parquet(pages_path).select("url", "lang")
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "url" in read_schema and "lang" in read_schema
+    assert "html" not in read_schema and "text" not in read_schema
+
+
+def test_normalize_stage_is_whole_stage_codegen(spark, pages_path):
+    from umi_collapse_rs_spark.operators.exact import with_norm
+
+    df = with_norm(spark.read.parquet(pages_path))
+    plan = _plan(df)
+    # formatted mode marks whole-stage-codegen nodes with `[codegen id : N]`
+    assert "codegen id" in plan
+    # no python worker in the normalize path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exact_collapse_is_single_aggregate_exchange(spark, pages_path):
+    from umi_collapse_rs_spark.operators.exact import exact_collapse, with_norm
+
+    reps, _ = exact_collapse(with_norm(spark.read.parquet(pages_path)))
+    import re
+
+    plan = _plan(reps)
+    # partial + final aggregate around exactly one exchange (formatted
+    # output names each node once in the tree and once in the detail)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Aggregate" in plan
+
+
+def test_semi_join_goes_broadcast_when_small(spark):
+    sf = "/root/testdata/sf0.001"
+    big = spark.read.parquet(f"{sf}/lineitem.parquet")
+    small = spark.read.parquet(f"{sf}/region.parquet")
+    j = big.join(F.broadcast(small), big.l_suppkey == small.r_regionkey, "left_semi")
+    assert "BroadcastHashJoin" in _plan(j)

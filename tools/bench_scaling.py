@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency evidence (north_rule: throughput efficiency >= 0.8
+from N to 4N executors; sandbox stand-in: local[8] vs local[32] on the
+SAME input, fresh JVM each, per the driver instruction).
+
+Runs the full dedup pipeline via spark-submit at both parallelism
+levels and writes BENCH/BASELINE.md.  Usage:
+
+    python tools/bench_scaling.py [n_pages]     # default 150000
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_at(cores: int, pages_path: str, zip_path: str) -> dict:
+    out_dir = f"/tmp/ucs_scaling_{cores}"
+    cmd = [
+        "spark-submit",
+        "--driver-memory",
+        "24g",
+        "--conf",
+        "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
+        "--py-files",
+        zip_path,
+        "jobs/run_dedup.py",
+        "--input",
+        pages_path,
+        "--output",
+        out_dir,
+        "--master",
+        f"local[{cores}]",
+        "--shuffle-partitions",
+        str(cores),
+    ]
+    t0 = time.monotonic()
+    proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    total = time.monotonic() - t0
+    summary = json.loads(proc.stdout.strip().splitlines()[-1])
+    summary["total_process_sec"] = round(total, 1)
+    summary["cores"] = cores
+    return summary
+
+
+def main() -> int:
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.chdir(repo)
+    sys.path.insert(0, repo)
+
+    pages_path = f"/tmp/ucs_scaling_pages_{n_pages}.parquet"
+    if not os.path.exists(pages_path):
+        from umi_collapse_rs_spark.fixtures import generate_pages
+
+        pdf, _ = generate_pages(n_pages)
+        pdf.to_parquet(
+            pages_path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+    zip_path = "/tmp/ucs_scaling.zip"
+    subprocess.run(
+        ["zip", "-qr", zip_path, "umi_collapse_rs_spark", "-x", "*__pycache__*"],
+        check=True,
+    )
+
+    r8 = run_at(8, pages_path, zip_path)
+    r32 = run_at(32, pages_path, zip_path)
+    tp8, tp32 = r8["pages_per_sec"], r32["pages_per_sec"]
+    efficiency = round((tp32 / tp8) / 4.0, 3)
+    report = {
+        "n_pages": n_pages,
+        "local8": r8,
+        "local32": r32,
+        "speedup_8_to_32": round(tp32 / tp8, 2),
+        "scaling_efficiency": efficiency,
+    }
+    print(json.dumps(report))
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH — scaling + throughput evidence
+
+North-rule scaling criterion (BASELINE.json): throughput scaling
+efficiency >= 0.8 from N to 4N executors.  Sandbox stand-in per the
+driver instruction: the SAME dedup job on the SAME input
+({n_pages:,} synthetic fixture pages, seed 42) at local[8] and
+local[32], fresh JVM per run, `spark.sql.shuffle.partitions` = cores.
+
+| parallelism | pipeline wall (s) | pages/sec | clusters |
+|---|---|---|---|
+| local[8]  (N)  | {r8['wall_sec']} | {tp8} | {r8['clusters']} |
+| local[32] (4N) | {r32['wall_sec']} | {tp32} | {r32['clusters']} |
+
+- speedup 8 -> 32 cores: **{round(tp32 / tp8, 2)}x** (ideal 4x)
+- scaling efficiency: **{efficiency}** (target >= 0.8)
+- cluster outputs identical across parallelism levels: {r8['clusters'] == r32['clusters']}
+
+Reproduce: `python tools/bench_scaling.py {n_pages}`
+
+Headline throughput (sf0.1 bench tier, 50k pages, local[32]): see the
+driver-recorded BENCH_r*.json from `bench.py` (`pages_per_sec`).
+
+Scale analysis (100 TB / 10^12 docs): every stage is a fixed, bounded
+number of shuffles — normalize+exact collapse (1 exchange on text_sha),
+fingerprint UDF (map-only after 1 re-spread exchange), candidate
+generation (1 exchange per source on bucket keys, skew-capped by
+sorted-neighbor chaining), verify (pair-keyed joins), clustering
+(O(log depth) rounds, each 2 exchanges, lineage cut per round), output
+joins.  No driver-side loops over data; no collect; per-bucket work is
+bounded by the pair cap, so hot template farms cannot blow up a task.
+"""
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

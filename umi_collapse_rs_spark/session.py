@@ -34,9 +34,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # local mode: the driver heap is ALL executor memory; 32 task
-        # threads share it, so size it to the box (128 GiB here)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "64g"))
+        # local mode: the driver heap is ALL executor memory.  Measured on
+        # this box (150k-page run, local[32]): heap 64g -> 12.6 min sys
+        # time (kernel page zeroing under G1 churn), 16g -> 2.7 min; and
+        # ParallelGC beats G1 by ~25% wall on this batch workload.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )

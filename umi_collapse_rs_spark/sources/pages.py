@@ -1,0 +1,79 @@
+"""Pages source/sink (SURVEY §2 S1/S2).
+
+Reference analog: the BAM reader/writer with htslib decompression
+thread pools (``/root/reference/src/deduplicate_sam.rs:78-86,339-413``)
+— its headline performance fix was parallel I/O (README.md:22-23),
+which Spark's splittable parquet/Iceberg scans give for free, with
+predicate pushdown and column pruning on top (verified in
+tests/test_plans.py).
+
+The production target is an Iceberg table (BASELINE.json north_rule);
+this container has no Iceberg runtime jar, so ``read_pages`` uses the
+``iceberg`` format when a catalog is configured and falls back to
+parquet otherwise.  Either way the pipeline sees one DataFrame with the
+input_hint schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+_REQUIRED = {"url", "warc_ts", "text"}
+
+
+def _has_iceberg(spark: SparkSession) -> bool:
+    try:
+        return bool(spark.conf.get("spark.sql.catalog.spark_catalog", None)) or bool(
+            spark.conf.get("spark.sql.catalog.iceberg", None)
+        )
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def read_pages(spark: SparkSession, source: str) -> DataFrame:
+    """Load the pages table from an Iceberg table name or a parquet path.
+
+    Validates the input_hint schema (missing required columns raise;
+    missing optional columns are filled with nulls) and prunes to
+    exactly the pipeline's columns so column pruning reaches the scan.
+    """
+    if "/" not in source and _has_iceberg(spark):
+        df = spark.read.format("iceberg").load(source)
+    else:
+        df = spark.read.parquet(source)
+    missing = _REQUIRED - set(df.columns)
+    if missing:
+        raise ValueError(f"pages source missing required columns: {sorted(missing)}")
+    cols = []
+    for f in PAGES_SCHEMA.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
+    """Write a result table to an Iceberg table name or a parquet path.
+
+    Iceberg gives atomic commits + snapshot time travel (the durable
+    form of stage checkpointing); the parquet fallback relies on the
+    directory-level ``_SUCCESS`` marker instead.
+    """
+    if "/" not in target and _has_iceberg(df.sparkSession):
+        writer = df.writeTo(target)
+        (writer.createOrReplace() if mode == "overwrite" else writer.append())
+    else:
+        df.write.mode(mode).parquet(target)

@@ -1,0 +1,5 @@
+from umi_collapse_rs_spark.streaming.ingest import (  # noqa: F401
+    stream_pages,
+    streaming_exact_dedup,
+    streaming_page_stats,
+)
