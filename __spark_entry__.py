@@ -345,15 +345,40 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return minhash_lsh_pairs(fp, cap=64, chain_width=4).select("src", "dst")
 
 
-def q_dedup_clusters(spark, sf_dir):
+def q_dedup_clusters(spark, sf_dir, algo: str = "dir"):
     """The flagship: full near-dup pipeline (SURVEY §7.1) over the
     documents table reshaped to pages."""
     from umi_collapse_rs_spark.config import DedupConfig
     from umi_collapse_rs_spark.plans.pipeline import run_dedup_pipeline
 
     pages = _docs_as_pages(spark, sf_dir)
-    res = run_dedup_pipeline(spark, pages, DedupConfig())
+    res = run_dedup_pipeline(spark, pages, DedupConfig(algo=algo))
     return res.clusters
+
+
+def q_dedup_clusters_cc(spark, sf_dir):
+    """Connected-components clustering rule (SURVEY §2 C3 — advertised
+    but unimplemented in the reference; native here)."""
+    return q_dedup_clusters(spark, sf_dir, algo="cc")
+
+
+def q_dedup_clusters_adj(spark, sf_dir):
+    """One-hop greedy adjacency rule (SURVEY §2 C2, upstream-Java
+    semantics; the Rust adj's max_freq=0 quirk noted in §2.1 D2)."""
+    return q_dedup_clusters(spark, sf_dir, algo="adj")
+
+
+def q_near_dup_pairs(spark, sf_dir):
+    """Verified near-duplicate pair list (SURVEY §2 J1 + §2 edge union):
+    the engine's edge evidence with provenance + signature similarity."""
+    from umi_collapse_rs_spark.config import DedupConfig
+    from umi_collapse_rs_spark.plans.pipeline import run_dedup_pipeline
+
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_dedup_pipeline(spark, pages, DedupConfig())
+    return res.pairs.select(
+        "src", "dst", "dist", F.round("sig_sim", 4).alias("sig_sim")
+    )
 
 
 def q_embedding_lsh_ann(spark, sf_dir):
@@ -392,6 +417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_cc": q_dedup_clusters_cc,
+        "dedup_clusters_adj": q_dedup_clusters_adj,
+        "near_dup_pairs": q_near_dup_pairs,
         "embedding_lsh_ann": q_embedding_lsh_ann,
     }
 
