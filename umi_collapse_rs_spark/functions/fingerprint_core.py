@@ -39,14 +39,31 @@ _SM_M1 = _U64(0xBF58476D1CE4E5B9)
 _SM_M2 = _U64(0x94D049BB133111EB)
 
 
-def splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 finalizer over uint64 arrays."""
+def splitmix64(x: np.ndarray, out: np.ndarray | None = None, tmp: np.ndarray | None = None) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 arrays.
+
+    With ``out``/``tmp`` buffers every step runs in place — no fresh
+    allocations.  This matters under executor concurrency: numpy frees
+    multi-MB temporaries back to the OS (mmap/munmap per op), and 32
+    workers re-faulting zeroed pages serialize in the kernel (measured
+    ~4x slowdown on this box before buffering).
+    """
     old = np.seterr(over="ignore")
     try:
-        x = (x + _SM_GAMMA) & _MASK64
-        x = ((x ^ (x >> _U64(30))) * _SM_M1) & _MASK64
-        x = ((x ^ (x >> _U64(27))) * _SM_M2) & _MASK64
-        return x ^ (x >> _U64(31))
+        if out is None:
+            out = np.empty_like(x)
+        if tmp is None:
+            tmp = np.empty_like(x)
+        np.add(x, _SM_GAMMA, out=out)            # x + gamma
+        np.right_shift(out, _U64(30), out=tmp)
+        np.bitwise_xor(out, tmp, out=out)
+        np.multiply(out, _SM_M1, out=out)
+        np.right_shift(out, _U64(27), out=tmp)
+        np.bitwise_xor(out, tmp, out=out)
+        np.multiply(out, _SM_M2, out=out)
+        np.right_shift(out, _U64(31), out=tmp)
+        np.bitwise_xor(out, tmp, out=out)
+        return out
     finally:
         np.seterr(**old)
 
@@ -103,12 +120,19 @@ def batch_shingle_hashes(texts: list[str], k: int, seed: int = 42) -> list[np.nd
         th = hash_strings(flat_tokens)  # ONE C call for the whole batch
         old = np.seterr(over="ignore")
         try:
-            # m_j = splitmix64(token_hash ^ (j+1)); windowed sum via shifts
+            # m_j = splitmix64(token_hash ^ (j+1)); windowed sum via
+            # shifted in-place adds (buffered: no mmap churn per op)
             L = len(th)
-            acc = np.zeros(L - k + 1, dtype=_U64)
+            n_out = L - k + 1
+            acc = np.zeros(n_out, dtype=_U64)
+            buf = np.empty(n_out, dtype=_U64)
+            tmp = np.empty(n_out, dtype=_U64)
             for j in range(k):
-                acc = (acc + splitmix64(th[j : L - k + 1 + j] ^ _U64(j + 1))) & _MASK64
-            acc = splitmix64(acc ^ seed64)
+                np.bitwise_xor(th[j : n_out + j], _U64(j + 1), out=buf)
+                splitmix64(buf, out=buf, tmp=tmp)
+                np.add(acc, buf, out=acc)
+            np.bitwise_xor(acc, seed64, out=acc)
+            acc = splitmix64(acc, out=acc, tmp=tmp)
         finally:
             np.seterr(**old)
         start = 0
@@ -153,22 +177,38 @@ def batch_window_hashes(
         flat_tokens.extend(toks_per_doc[i])
     th = hash_strings(flat_tokens)
     seed64 = _U64(seed & 0xFFFFFFFFFFFFFFFF)
+    L = len(th)
+    # valid window-start positions: anchor token (hash % stride == 0)
+    # AND the window stays inside its document
+    valid = np.zeros(L, dtype=bool)
+    start = 0
+    doc_bounds = np.empty((len(long_idx), 2), dtype=np.int64)
+    for pos, i in enumerate(long_idx):
+        ln = int(lengths[i])
+        valid[start : start + ln - window + 1] = True
+        doc_bounds[pos] = (start, start + ln - window + 1)
+        start += ln
     old = np.seterr(over="ignore")
     try:
-        L = len(th)
-        acc = np.zeros(L - window + 1, dtype=_U64)
+        anchors = np.nonzero(valid & ((th % _U64(stride)) == 0))[0]
+        # fold ONLY at anchors (1/stride of all positions): `window`
+        # gathers of len(anchors) beat `window` passes over the full
+        # token array by ~stride x
+        acc = np.zeros(len(anchors), dtype=_U64)
+        buf = np.empty(len(anchors), dtype=_U64)
+        tmp = np.empty(len(anchors), dtype=_U64)
         for j in range(window):
-            acc = (acc + splitmix64(th[j : L - window + 1 + j] ^ _U64(j + 1))) & _MASK64
-        acc = splitmix64(acc ^ seed64)
-        anchor_ok = (th % _U64(stride)) == 0
+            np.bitwise_xor(th[anchors + j], _U64(j + 1), out=buf)
+            splitmix64(buf, out=buf, tmp=tmp)
+            np.add(acc, buf, out=acc)
+        np.bitwise_xor(acc, seed64, out=acc)
+        acc = splitmix64(acc, out=acc, tmp=tmp)
     finally:
         np.seterr(**old)
-    start = 0
-    for i in long_idx:
-        ln = int(lengths[i])
-        valid = anchor_ok[start : start + ln - window + 1]
-        out[i] = np.unique(acc[start : start + ln - window + 1][valid]).view(np.int64)
-        start += ln
+    los = np.searchsorted(anchors, doc_bounds[:, 0], side="left")
+    his = np.searchsorted(anchors, doc_bounds[:, 1], side="left")
+    for pos, i in enumerate(long_idx):
+        out[i] = np.unique(acc[los[pos] : his[pos]]).view(np.int64)
     return out
 
 
@@ -194,12 +234,15 @@ def batch_simhash(hash_arrays: list[np.ndarray]) -> np.ndarray:
         return np.empty(0, dtype=np.int64)
     flat, offsets, lengths = _flat_offsets(hash_arrays)
     out = np.zeros(len(hash_arrays), dtype=np.uint64)
+    lengths_u = lengths.astype(np.uint64)
+    buf = np.empty_like(flat)
     old = np.seterr(over="ignore")
     try:
         for i in range(64):
-            bit = ((flat >> _U64(i)) & _U64(1)).astype(np.int64)
-            counts = np.add.reduceat(bit, offsets)
-            out |= (counts * 2 >= lengths).astype(np.uint64) << _U64(i)
+            np.right_shift(flat, _U64(i), out=buf)
+            np.bitwise_and(buf, _U64(1), out=buf)
+            counts = np.add.reduceat(buf, offsets)
+            out |= (counts * _U64(2) >= lengths_u).astype(np.uint64) << _U64(i)
     finally:
         np.seterr(**old)
     return out.view(np.int64)
@@ -231,9 +274,36 @@ def batch_minhash_signature(
         return np.empty((0, perms), dtype=np.int64)
     flat, offsets, _ = _flat_offsets(hash_arrays)
     seeds = _perm_seeds(perms, seed)
-    sig = np.empty((len(hash_arrays), perms), dtype=_U64)
-    for i in range(perms):
-        sig[:, i] = np.minimum.reduceat(splitmix64(flat ^ seeds[i]), offsets)
+    n_docs = len(hash_arrays)
+    sig = np.empty((n_docs, perms), dtype=_U64)
+    # cache-block over documents: keep the chunk's shingle hashes
+    # L2-resident across all `perms` passes instead of streaming the
+    # whole flat array from DRAM 128 times (memory-bandwidth-bound
+    # under 32-way executor concurrency otherwise)
+    chunk_elems = 32_768
+    buf = np.empty(chunk_elems * 2, dtype=_U64)
+    tmp = np.empty(chunk_elems * 2, dtype=_U64)
+    ends = np.append(offsets[1:], len(flat))
+    d0 = 0
+    while d0 < n_docs:
+        d1 = d0 + 1
+        o0 = int(offsets[d0])
+        # extend the chunk while it stays under the element target
+        while d1 < n_docs and int(ends[d1 - 1]) - o0 < chunk_elems:
+            d1 += 1
+        o1 = int(ends[d1 - 1])
+        flat_c = flat[o0:o1]
+        offs_c = offsets[d0:d1] - o0
+        m = len(flat_c)
+        if m > len(buf):  # single pathological mega-doc
+            b, t = np.empty(m, dtype=_U64), np.empty(m, dtype=_U64)
+        else:
+            b, t = buf[:m], tmp[:m]
+        for i in range(perms):
+            np.bitwise_xor(flat_c, seeds[i], out=b)
+            splitmix64(b, out=b, tmp=t)
+            sig[d0:d1, i] = np.minimum.reduceat(b, offs_c)
+        d0 = d1
     return sig.view(np.int64)
 
 

@@ -54,6 +54,29 @@ def make_combined_fingerprint_udf(
         fields.append(T.StructField("win_hashes", T.ArrayType(T.LongType())))
     out_type = T.StructType(fields)
 
+    def _rect_list_series(mat) -> pd.Series:
+        """(n, w) int64 matrix -> Arrow list<int64> Series, zero object
+        churn (a plain Series of ndarrays costs seconds per batch in
+        Arrow conversion; this is microseconds)."""
+        import numpy as np
+        import pyarrow as pa
+
+        n, w = mat.shape
+        offs = pa.array(np.arange(0, (n + 1) * w, w, dtype=np.int32))
+        arr = pa.ListArray.from_arrays(offs, pa.array(mat.ravel()))
+        return pd.Series(pd.arrays.ArrowExtensionArray(arr))
+
+    def _ragged_list_series(arrays) -> pd.Series:
+        import numpy as np
+        import pyarrow as pa
+
+        lens = np.fromiter((len(a) for a in arrays), dtype=np.int64, count=len(arrays))
+        offs = np.zeros(len(arrays) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offs[1:])
+        flat = np.concatenate(arrays) if offs[-1] else np.empty(0, dtype=np.int64)
+        arr = pa.ListArray.from_arrays(pa.array(offs), pa.array(flat.view(np.int64)))
+        return pd.Series(pd.arrays.ArrowExtensionArray(arr))
+
     @F.pandas_udf(out_type)
     def fingerprint(text: pd.Series) -> pd.DataFrame:
         texts = text.fillna("").tolist()
@@ -61,10 +84,14 @@ def make_combined_fingerprint_udf(
         sim = core.batch_simhash(hashes)
         sig = core.batch_minhash_signature(hashes, perms, seed)
         bands_v = core.bands_from_signature(sig, bands)
-        out = {"simhash": sim, "mh_bands": list(bands_v), "mh_sig": list(sig)}
+        out = {
+            "simhash": pd.Series(sim),
+            "mh_bands": _rect_list_series(bands_v),
+            "mh_sig": _rect_list_series(sig),
+        }
         if window_tokens:
-            out["win_hashes"] = core.batch_window_hashes(
-                texts, window_tokens, window_stride, seed
+            out["win_hashes"] = _ragged_list_series(
+                core.batch_window_hashes(texts, window_tokens, window_stride, seed)
             )
         return pd.DataFrame(out)
 
