@@ -319,6 +319,24 @@ def q_cosine_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_embedding_near_dup_pairs(spark, sf_dir):
+    """Training-data dedup: embedding-cosine near-duplicate pairs
+    (cosine >= 0.35 across (synthetic embeddings are near-orthogonal; the threshold is set where pairs exist so the operator is exercised non-vacuously) the corpus; brute-force with the banded-LSH
+    variant available via embedding_lsh_ann for scale)."""
+    from umi_collapse_rs_spark.functions.embeddings import cosine_sim_col
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("src") < F.col("dst"))
+        .withColumn("sim", cosine_sim_col(F.col("ea"), F.col("eb")))
+        .filter(F.col("sim") >= 0.35)
+        .select("src", "dst", F.round("sim", 4).alias("cos_sim"))
+    )
+
+
 def q_simhash_fingerprints(spark, sf_dir):
     """SURVEY §2 P1/X3: text -> 64-bit SimHash (pandas UDF)."""
     from umi_collapse_rs_spark.functions.udfs import make_combined_fingerprint_udf
@@ -414,6 +432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "event_window_agg": q_event_window_agg,
         "cosine_topk": q_cosine_topk,
+        "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
         "simhash_fingerprints": q_simhash_fingerprints,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -573,6 +592,19 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
+        """,
+        "embedding_near_dup_pairs": """
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   round(
+                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                              x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE)))
+                        * sqrt(list_sum(list_transform(b.embedding, v -> v::DOUBLE * v::DOUBLE)))), 4) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                           x -> x[1]::DOUBLE * x[2]::DOUBLE))
+                  / (sqrt(list_sum(list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE)))
+                     * sqrt(list_sum(list_transform(b.embedding, v -> v::DOUBLE * v::DOUBLE)))) >= 0.35
         """,
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
