@@ -31,8 +31,14 @@ def _fixture_parquet(n_pages: int) -> str:
         from umi_collapse_rs_spark.fixtures import generate_pages
 
         pdf, _ = generate_pages(n_pages)
+        # small row groups so the scan splits across all cores (parquet
+        # splits at row-group granularity)
         pdf.to_parquet(
-            path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+            path,
+            index=False,
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+            row_group_size=8192,
         )
     return path
 

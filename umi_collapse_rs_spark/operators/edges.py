@@ -37,38 +37,45 @@ def union_pairs(
     all_pairs = pair_dfs[0]
     for p in pair_dfs[1:]:
         all_pairs = all_pairs.unionByName(p)
-    # one row per pair; keep the strongest source for provenance
-    # (simhash < minhash < window alphabetically is NOT meaningful; use
-    # explicit rank: simhash pairs carry dist, others don't)
+    # one row per pair, with full source provenance
     best = all_pairs.groupBy("src", "dst").agg(
         F.array_sort(F.collect_set("source")).alias("sources"),
     )
-    side_a = fp.select(
-        F.col(id_col).alias("src"), F.col("mh_sig").alias("_sig_a"), F.col("simhash").alias("_sh_a")
-    )
-    side_b = fp.select(
-        F.col(id_col).alias("dst"), F.col("mh_sig").alias("_sig_b"), F.col("simhash").alias("_sh_b")
-    )
-    with_sig = best.join(side_a, "src").join(side_b, "dst")
-    n_eq = F.size(
-        F.filter(
-            F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y),
-            lambda b: b,
-        )
-    )
-    sig_sim = n_eq / F.size("_sig_a")
-    verified = (
-        with_sig.withColumn("sig_sim", sig_sim)
-        # dist always populated: the directional rule needs dist==0 to
-        # absorb identical fingerprints unconditionally (naive.rs:31)
+    # dist always populated: the directional rule needs dist==0 to
+    # absorb identical fingerprints unconditionally (naive.rs:31).
+    # This universal join carries ONLY the 8-byte simhash per side.
+    sh_a = fp.select(F.col(id_col).alias("src"), F.col("simhash").alias("_sh_a"))
+    sh_b = fp.select(F.col(id_col).alias("dst"), F.col("simhash").alias("_sh_b"))
+    with_dist = (
+        best.join(sh_a, "src")
+        .join(sh_b, "dst")
         .withColumn("dist", F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))))
-        .filter(
-            F.array_contains("sources", "simhash")
-            | F.array_contains("sources", "window")
-            | (F.col("sig_sim") >= F.lit(jaccard_threshold))
-        )
+        .drop("_sh_a", "_sh_b")
     )
-    return verified.select("src", "dst", "dist", "sources", "sig_sim")
+    accepted_outright = F.array_contains("sources", "simhash") | F.array_contains(
+        "sources", "window"
+    )
+    passthrough = with_dist.filter(accepted_outright).withColumn(
+        "sig_sim", F.lit(None).cast("double")
+    )
+    # the ~1 KB/row MinHash-signature join runs ONLY for pairs whose sole
+    # evidence is an LSH bucket hit (a small minority in duplicate-heavy
+    # corpora — simhash/window pairs skip it); at 10^12 docs this keeps
+    # the fat payload out of the big pair shuffle
+    sig_a = fp.select(F.col(id_col).alias("src"), F.col("mh_sig").alias("_sig_a"))
+    sig_b = fp.select(F.col(id_col).alias("dst"), F.col("mh_sig").alias("_sig_b"))
+    n_eq = F.size(F.filter(F.zip_with("_sig_a", "_sig_b", lambda x, y: x == y), lambda b: b))
+    verified_lsh = (
+        with_dist.filter(~accepted_outright)
+        .join(sig_a, "src")
+        .join(sig_b, "dst")
+        .withColumn("sig_sim", n_eq / F.size("_sig_a"))
+        .filter(F.col("sig_sim") >= F.lit(jaccard_threshold))
+        .drop("_sig_a", "_sig_b")
+    )
+    return passthrough.unionByName(verified_lsh).select(
+        "src", "dst", "dist", "sources", "sig_sim"
+    )
 
 
 def directional_edges(pairs: DataFrame, fp: DataFrame, p: float = 0.5, id_col: str = "url") -> DataFrame:

@@ -90,16 +90,24 @@ def run_dedup_pipeline(
     )
 
     # stage 1: normalize ONCE and persist the working set — reps,
-    # members, lineage, and the output join all derive from this single
-    # pass (normalizing per-consumer re-scanned the corpus: measured
-    # 26.7s extra at 600k pages just for the members projection)
-    in_cols = [c for c in ("url", "warc_ts", "html", "text", "lang") if c in pages.columns]
+    # members, lineage, and the metrics aggregation all derive from this
+    # single pass.  Only the columns downstream stages read are kept:
+    # html and the raw text stay behind in the source scan (column-
+    # pruned away here; the output join re-reads text from the source).
+    # Measured trade-offs on this corpus shape: re-scanning the source
+    # per consumer costs more than this one materialization (the parquet
+    # decode + normalize regex dominate, and they scale with cores),
+    # while a metadata-only checkpoint + broadcast text re-fetch was
+    # NET SLOWER because of the second full scan (see BENCH notes).
+    in_cols = [c for c in ("url", "warc_ts", "text", "lang") if c in pages.columns]
+    keep = ["url", "warc_ts", *(["lang"] if "lang" in in_cols else []), "text_sha", "text_norm"]
     pages_norm = ckpt.materialize(
-        "s1_norm", lambda: with_norm(pages.select(*in_cols))
+        "s1_norm", lambda: with_norm(pages.select(*in_cols)).select(*keep)
     )
 
-    # stage 2: exact collapse (one hash-agg exchange); members is a free
-    # projection of the stage-1 checkpoint, not its own materialization
+    # stage 2: exact collapse (one hash-agg exchange, map-side partial
+    # agg; the shuffle carries one text_norm per distinct sha per map
+    # partition); members is a free projection of the stage-1 checkpoint
     reps, members = exact_collapse(pages_norm)
     reps = ckpt.materialize("s2_exact_reps", lambda: reps)
 
@@ -151,10 +159,15 @@ def run_dedup_pipeline(
     clusters = build_clusters_table(members, reps, assignments)
     clusters = ckpt.materialize("s7_clusters", lambda: clusters)
 
+    out_cols = [c for c in ("url", "warc_ts", "text", "lang") if c in pages.columns]
     canonical_pages = (
         clusters.filter(F.col("url") == F.col("canonical_url"))
         .select("url", "cluster_id", "cluster_size")
-        .join(pages_norm.select("url", "warc_ts", "text", "lang"), "url", "left")
+        # re-read the raw text from the source scan (byte-identical
+        # per-url invariant): one canonical url per cluster, so this is
+        # a semi-join-sized read, and the source keeps predicate/column
+        # pushdown — cheaper than materializing text through stage 1
+        .join(pages.select(*out_cols), "url", "left")
     )
 
     # stage 9: metrics + lineage (north_rule: per-partition lineage +

@@ -45,6 +45,12 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # single-file fixture inputs must still split wide enough to use
+        # every core (440 MB / 128 MB default = 4 splits would cap the
+        # scan+normalize stage at 4-way); 8 MB keeps local scans
+        # parallel even for the small bench tiers, and is irrelevant at
+        # cluster scale where inputs are many files
+        .config("spark.sql.files.maxPartitionBytes", "8388608")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
