@@ -7,7 +7,8 @@ line: {"metric", "value", "unit": "sec", "queries": {name: sec}, "sf"}.
 
 The flagship measurement is the full near-dup pipeline over the
 deterministic fixture corpus sized to the sf tier (FIXTURES.md §5:
-sf0.1 -> 50k pages); `pages_per_sec` is the BASELINE.json throughput
+sf0.1 -> 150k pages, sized so fixed JVM/stage overhead is <15% of the
+run); `pages_per_sec` is the BASELINE.json throughput
 metric.  Scaling evidence (local[8] vs local[32], north_rule) is
 produced by tools/bench_scaling.py -> BENCH/BASELINE.md.
 """
@@ -22,7 +23,7 @@ import time
 
 def _fixture_pages_for(sf_dir: str) -> int:
     name = os.path.basename(os.path.normpath(sf_dir))
-    return {"sf0.001": 500, "sf0.01": 5_000, "sf0.1": 50_000}.get(name, 50_000)
+    return {"sf0.001": 500, "sf0.01": 5_000, "sf0.1": 150_000}.get(name, 150_000)
 
 
 def _fixture_parquet(n_pages: int) -> str:
