@@ -143,8 +143,18 @@ def run_dedup_pipeline(
 
     pairs = ckpt.materialize("s5_verified_pairs", build_pairs)
 
-    # stage 6: clustering
-    nodes = fp.select("url", "freq")
+    # stage 6: clustering — ONLY over nodes that appear in a verified
+    # pair.  Unique pages (the large majority of a real crawl) never
+    # enter the iterative loop; they become singleton clusters in
+    # stage 7 through the existing left-join + coalesce.  At 10^12 docs
+    # this is the difference between ~10 TB and ~160 TB of label
+    # shuffle per round (SCALE.md).
+    pair_nodes = (
+        pairs.select(F.col("src").alias("url"))
+        .unionByName(pairs.select(F.col("dst").alias("url")))
+        .dropDuplicates(["url"])
+    )
+    nodes = fp.select("url", "freq").join(pair_nodes, "url", "left_semi")
     t0 = time.monotonic()
     if cfg.algo == "dir":
         gated = directional_edges(pairs, fp, cfg.directional_p)
