@@ -320,9 +320,11 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_embedding_near_dup_pairs(spark, sf_dir):
-    """Training-data dedup: embedding-cosine near-duplicate pairs
-    (cosine >= 0.35 across (synthetic embeddings are near-orthogonal; the threshold is set where pairs exist so the operator is exercised non-vacuously) the corpus; brute-force with the banded-LSH
-    variant available via embedding_lsh_ann for scale)."""
+    """Training-data dedup: embedding-cosine near-duplicate pairs across
+    the corpus (brute-force; the banded-LSH variant for scale is
+    embedding_lsh_ann).  Threshold 0.35: the synthetic embeddings are
+    near-orthogonal, so it sits where pairs exist and the operator is
+    exercised non-vacuously."""
     from umi_collapse_rs_spark.functions.embeddings import cosine_sim_col
 
     e = _t(spark, sf_dir, "embeddings")

@@ -72,21 +72,19 @@ def propagate_min_label(
     # overhead (measured both ways at 150k pages).
     labels = _label_init(nodes, id_col).localCheckpoint(eager=True)
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
-    for _ in range(max_iterations):
-        # gather: each node takes the min of its own and its in-
-        # neighbors' labels.  Self rows carry the old label along
-        # (_old via ignore-nulls max) so convergence needs no extra
-        # join against the previous round.
-        self_rows = labels.select("_nid", "label", F.col("label").alias("_old"))
-        incoming = (
-            edges.join(labels, edges["src"] == labels["_nid"])
-            .select(
-                F.col("dst").alias("_nid"),
-                "label",
-                F.lit(None)
-                .cast(self_rows.schema["_old"].dataType.simpleString())
-                .alias("_old"),
-            )
+    old_type = labels.schema["label"].dataType.simpleString()
+
+    def superstep(lbl: DataFrame, keep_old: bool) -> DataFrame:
+        """One gather + pointer-jump.  With ``keep_old`` the node's
+        pre-step label rides along as ``_old`` (ignore-nulls max over
+        the self row) so convergence needs no join against the previous
+        round."""
+        old_col = F.col("label") if keep_old else F.col("_old")
+        self_rows = lbl.select("_nid", "label", old_col.alias("_old"))
+        incoming = edges.join(lbl, edges["src"] == lbl["_nid"]).select(
+            F.col("dst").alias("_nid"),
+            "label",
+            F.lit(None).cast(old_type).alias("_old"),
         )
         combined = (
             self_rows.unionByName(incoming)
@@ -94,17 +92,23 @@ def propagate_min_label(
             .agg(F.min("label").alias("label"), F.max("_old").alias("_old"))
         )
         roots = combined.select(F.col("_nid").alias("_rid"), F.col("label").alias("_rlabel"))
-        jumped = (
-            combined.join(roots, combined["label"]["lid"] == roots["_rid"], "left")
-            .select(
-                "_nid",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("_rlabel"), F.col("label"))
-                ).alias("label"),
-                "_old",
-            )
-            .localCheckpoint(eager=True)
+        return combined.join(
+            roots, combined["label"]["lid"] == roots["_rid"], "left"
+        ).select(
+            "_nid",
+            F.least(F.col("label"), F.coalesce(F.col("_rlabel"), F.col("label"))).alias(
+                "label"
+            ),
+            "_old",
         )
+
+    # TWO supersteps per materialization: the checkpoint job and the
+    # convergence probe are driver-serial costs that scale with nothing,
+    # so halving their count halves the loop's serial floor; the deeper
+    # (but still bounded) two-step plan stays JVM-side
+    for _ in range(max_iterations):
+        jumped = superstep(superstep(labels, keep_old=True), keep_old=False)
+        jumped = jumped.localCheckpoint(eager=True)
         # probe the checkpointed result: short-circuits at the first
         # changed row while the loop is still making progress
         converged = jumped.filter(F.col("label") != F.col("_old")).isEmpty()
