@@ -15,43 +15,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def union_pairs(
+def candidate_pairs_with_dist(
     pair_dfs: list[DataFrame],
     fp: DataFrame,
-    jaccard_threshold: float,
     id_col: str = "url",
 ) -> DataFrame:
-    """Union candidate-pair sources, dedup (src < dst invariant), and
-    verify the LSH-sourced pairs by MinHash signature similarity.
+    """Union candidate-pair sources into one row per (src, dst) with
+    source provenance and SimHash Hamming distance.
 
-    ``fp`` needs (id_col, mh_sig: array<long>).  SimHash pairs arrive
-    already Hamming-verified; window pairs are accepted outright (they
-    share >= min_shared verbatim 64-token windows — stronger evidence
-    than a global-Jaccard estimate, which is exactly the signal LSH
-    misses on long-overlap-in-long-doc pairs).
+    Dedup happens ONCE here across all sources (one shuffle instead of
+    one per source).  ``dist`` is always populated: the directional rule
+    needs dist==0 to absorb identical fingerprints unconditionally
+    (naive.rs:31); this universal join carries ONLY the 8-byte simhash
+    per side.
 
-    The signature join happens on candidate PAIRS (a small fraction of
-    the corpus), never all-pairs; ``sig_sim`` is a zip_with/filter
-    Column expression, JVM-side.
+    The output feeds two verify branches in :func:`verify_pairs`;
+    materialize it between the two calls (the pipeline checkpoints it
+    as stage s4) — otherwise Catalyst executes this whole subtree, and
+    every candidate generator under it, once per branch.
     """
     all_pairs = pair_dfs[0]
     for p in pair_dfs[1:]:
         all_pairs = all_pairs.unionByName(p)
-    # one row per pair, with full source provenance
     best = all_pairs.groupBy("src", "dst").agg(
         F.array_sort(F.collect_set("source")).alias("sources"),
     )
-    # dist always populated: the directional rule needs dist==0 to
-    # absorb identical fingerprints unconditionally (naive.rs:31).
-    # This universal join carries ONLY the 8-byte simhash per side.
     sh_a = fp.select(F.col(id_col).alias("src"), F.col("simhash").alias("_sh_a"))
     sh_b = fp.select(F.col(id_col).alias("dst"), F.col("simhash").alias("_sh_b"))
-    with_dist = (
+    return (
         best.join(sh_a, "src")
         .join(sh_b, "dst")
         .withColumn("dist", F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))))
         .drop("_sh_a", "_sh_b")
     )
+
+
+def verify_pairs(
+    with_dist: DataFrame,
+    fp: DataFrame,
+    jaccard_threshold: float,
+    id_col: str = "url",
+) -> DataFrame:
+    """Verify unioned candidate pairs.
+
+    SimHash pairs arrive already Hamming-verified; window pairs are
+    accepted outright (they share >= min_shared verbatim 64-token
+    windows — stronger evidence than a global-Jaccard estimate, which
+    is exactly the signal LSH misses on long-overlap-in-long-doc
+    pairs); LSH-only pairs are checked by MinHash signature similarity.
+
+    ``fp`` needs (id_col, mh_sig: array<long>).  The signature join
+    happens on candidate PAIRS (a small fraction of the corpus), never
+    all-pairs; ``sig_sim`` is a zip_with/filter Column expression,
+    JVM-side.
+    """
     accepted_outright = F.array_contains("sources", "simhash") | F.array_contains(
         "sources", "window"
     )
@@ -75,6 +92,20 @@ def union_pairs(
     )
     return passthrough.unionByName(verified_lsh).select(
         "src", "dst", "dist", "sources", "sig_sim"
+    )
+
+
+def union_pairs(
+    pair_dfs: list[DataFrame],
+    fp: DataFrame,
+    jaccard_threshold: float,
+    id_col: str = "url",
+) -> DataFrame:
+    """One-shot convenience: candidate union + verify, no mid
+    materialization (small inputs / tests; the pipeline checkpoints the
+    candidate stage between the two halves instead)."""
+    return verify_pairs(
+        candidate_pairs_with_dist(pair_dfs, fp, id_col), fp, jaccard_threshold, id_col
     )
 
 

@@ -40,7 +40,11 @@ from umi_collapse_rs_spark.operators.cluster import (
     connected_components,
     propagate_min_label,
 )
-from umi_collapse_rs_spark.operators.edges import directional_edges, union_pairs
+from umi_collapse_rs_spark.operators.edges import (
+    candidate_pairs_with_dist,
+    directional_edges,
+    verify_pairs,
+)
 from umi_collapse_rs_spark.operators.exact import exact_collapse, with_norm
 from umi_collapse_rs_spark.plans.checkpoint import StageCheckpointer
 
@@ -129,8 +133,12 @@ def run_dedup_pipeline(
 
     fp = ckpt.materialize("s3_fingerprints", build_fp)
 
-    # stage 4: candidate pairs (simhash banding + minhash LSH + windows)
-    def build_pairs() -> DataFrame:
+    # stage 4: candidate pairs (simhash banding + minhash LSH + windows),
+    # unioned + dedup'd + dist-annotated, MATERIALIZED before the verify
+    # branches — verify splits into a passthrough branch and a
+    # signature-join branch, and without a cut here Catalyst executes
+    # the whole candidate DAG once per branch (measured 2x stage cost)
+    def build_candidates() -> DataFrame:
         sim_pairs = simhash_band_pairs(
             fp, cfg.hamming_k, cfg.simhash_bands, cfg.bucket_pair_cap, cfg.chain_width
         )
@@ -138,10 +146,15 @@ def run_dedup_pipeline(
         win_pairs = window_overlap_pairs(
             fp, cfg.min_shared_windows, cfg.bucket_pair_cap, cfg.chain_width
         )
-        # stage 5a: union + verify
-        return union_pairs([sim_pairs, mh_pairs, win_pairs], fp, cfg.jaccard_threshold)
+        return candidate_pairs_with_dist([sim_pairs, mh_pairs, win_pairs], fp)
 
-    pairs = ckpt.materialize("s5_verified_pairs", build_pairs)
+    candidates = ckpt.materialize("s4_candidates", build_candidates)
+
+    # stage 5: verify (simhash/window passthrough; LSH-only pairs get
+    # the MinHash-signature check)
+    pairs = ckpt.materialize(
+        "s5_verified_pairs", lambda: verify_pairs(candidates, fp, cfg.jaccard_threshold)
+    )
 
     # stage 6: clustering — ONLY over nodes that appear in a verified
     # pair.  Unique pages (the large majority of a real crawl) never

@@ -33,7 +33,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 500-row Arrow batches, NOT the 10k default: a forked pyspark
+        # worker's FIRST UDF call pays fork/COW page-fault warmup that
+        # grows superlinearly with the batch working set (measured at
+        # 150k pages: one 3.4k-row batch per worker -> 6 s/call, 90%
+        # kernel time; 500-row batches -> 0.6 s first call + 0.08 s
+        # warm calls, 5x faster stage wall).  Compute per batch is
+        # C-vectorized either way; 500 rows (~1 MB text) keeps numpy
+        # efficiency while amortizing the warmup across calls.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "500")
         # local mode: the driver heap is ALL executor memory.  Measured on
         # this box (150k-page run, local[32]): heap 64g -> 12.6 min sys
         # time (kernel page zeroing under G1 churn), 16g -> 2.7 min; and
