@@ -195,6 +195,39 @@ def q_token_count(spark, sf_dir):
     return d.select("doc_id", n_tok.alias("n_tokens"))
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """Text analysis: BPE-ish pre-tokenizer count — letter runs, digit
+    runs, and single non-space punctuation each count as one token
+    (the GPT-2-style pre-split shape, ASCII form so the Java and RE2
+    regex engines agree; no lookarounds)."""
+    d = _t(spark, sf_dir, "documents")
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(pat)).alias("n_bpe_tokens"),
+    )
+
+
+def q_rolling_fingerprint(spark, sf_dir):
+    """Text analysis: polynomial rolling-hash document fingerprint over
+    the character stream (h = (h*31 + code) mod (2^31-1)) — the
+    order-sensitive cheap fingerprint family (reference analog: the
+    31-multiplier rolling hash at utils/mod.rs:17-21).  Computed as a
+    fold over the char array; modular step keeps ANSI-mode int64 from
+    overflowing in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    m = 2_147_483_647
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length("text")),
+        lambda i: F.ascii(F.col("text").substr(i, F.lit(1))).cast("long"),
+    )
+    fp = F.aggregate(codes, F.lit(0).cast("long"), lambda acc, x: (acc * 31 + x) % m)
+    return d.select(
+        "doc_id",
+        F.when(F.length("text") == 0, F.lit(0).cast("long")).otherwise(fp).alias("rolling_fp"),
+    )
+
+
 def q_quality_score(spark, sf_dir):
     """Text analysis: quality scoring (length/punct/stopword ratios)."""
     d = _t(spark, sf_dir, "documents")
@@ -428,6 +461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_self_join": q_hamming_self_join,
         "ngram_jaccard": q_ngram_jaccard,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
+        "rolling_fingerprint": q_rolling_fingerprint,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -544,6 +579,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN length(trim(text)) = 0 THEN 0
                         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+            FROM documents
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "rolling_fingerprint": """
+            SELECT doc_id,
+                   CASE WHEN length(text) = 0 THEN 0
+                        ELSE list_reduce(
+                               list_prepend(0::BIGINT,
+                                 list_transform(range(1, length(text) + 1),
+                                                i -> ascii(text[i])::BIGINT)),
+                               (acc, x) -> (acc * 31 + x) % 2147483647)
+                   END AS rolling_fp
             FROM documents
         """,
         "quality_score": f"""

@@ -62,6 +62,15 @@ def main() -> int:
     n_pages = _fixture_pages_for(sf_dir)
     pages_path = _fixture_parquet(n_pages)
     pages = spark.read.parquet(pages_path)
+
+    # steady-state warmup: one tiny end-to-end run first.  The metric is
+    # sustained pages/sec on a 10^12-doc table, where one-time JVM
+    # codegen + Python-worker fork costs are noise; without this the
+    # 150k-page measurement charges ~20 s of cold-start to the first
+    # (and only) timed run.
+    warm = _fixture_parquet(2_000)
+    run_dedup_pipeline(spark, spark.read.parquet(warm), DedupConfig()).clusters.count()
+
     t0 = time.monotonic()
     res = run_dedup_pipeline(spark, pages, DedupConfig())
     n_clusters = res.clusters.select("canonical_url").distinct().count()

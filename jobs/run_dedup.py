@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint-dir", default=None, help="stage-checkpoint root (resumable)")
     ap.add_argument("--master", default=None, help="override spark master (default: env/local[*])")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument(
+        "--warmup",
+        action="store_true",
+        help="run a tiny end-to-end pipeline before the timed run (steady-state "
+        "measurement: excludes one-time JVM codegen + Python-worker fork costs)",
+    )
     args = ap.parse_args(argv)
 
     from umi_collapse_rs_spark.config import DedupConfig
@@ -65,6 +71,12 @@ def main(argv: list[str] | None = None) -> int:
         pages = pages_spark_df(spark, args.fixture)
     else:
         pages = spark.read.parquet(args.input)
+
+    if args.warmup:
+        from umi_collapse_rs_spark.fixtures import pages_spark_df
+
+        warm_cfg = DedupConfig(algo=args.algo)
+        run_dedup_pipeline(spark, pages_spark_df(spark, 2000), warm_cfg).clusters.count()
 
     t0 = time.monotonic()
     n_pages = pages.count()

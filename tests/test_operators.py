@@ -97,6 +97,22 @@ def test_pairs_from_buckets_hot_bucket_chained(spark):
         assert (f"x{i:02d}", f"x{i+1:02d}") in got
 
 
+def test_pairs_from_buckets_large_cap_self_join_path(spark):
+    """cap above the lead fan-out bound takes the bucket self-join
+    branch; small buckets get full all-pairs, hot buckets still chain."""
+    rows = [(1, f"s{i}", i) for i in range(10)]          # bsz 10 <= cap: all pairs
+    rows += [(2, f"h{i:02d}", i) for i in range(60)]     # bsz 60 > cap: chained
+    df = spark.createDataFrame(rows, "b int, id string, o long")
+    pairs = pairs_from_buckets(df, ["b"], "id", "o", cap=50, chain_width=3, dedup=True)
+    got = {(r["src"], r["dst"]) for r in pairs.collect()}
+    small = {p for p in got if p[0].startswith("s")}
+    hot = {p for p in got if p[0].startswith("h")}
+    assert len(small) == 45  # C(10,2)
+    assert len(hot) == 3 * 60 - 6
+    for i in range(59):
+        assert (f"h{i:02d}", f"h{i+1:02d}") in hot
+
+
 def test_singleton_buckets_produce_no_pairs(spark):
     df = spark.createDataFrame([(i, f"x{i}", i) for i in range(5)], "b int, id string, o long")
     assert pairs_from_buckets(df, ["b"], "id", "o", 10, 2).count() == 0

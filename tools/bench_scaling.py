@@ -40,6 +40,7 @@ def run_at(cores: int, pages_path: str, zip_path: str) -> dict:
         "--py-files",
         zip_path,
         "jobs/run_dedup.py",
+        "--warmup",
         "--input",
         pages_path,
         "--output",
@@ -155,7 +156,8 @@ at parallel efficiency ~0.96 against the single-core numpy floor.
 
 Reproduce: `python tools/bench_scaling.py {n_pages}`
 
-Headline throughput (sf0.1 bench tier, 50k pages, local[32]): see the
+Headline throughput (sf0.1 bench tier, 150k fixture pages, local[32],
+steady-state after warmup): see the
 driver-recorded BENCH_r*.json from `bench.py` (`pages_per_sec`).
 
 Scale analysis (100 TB / 10^12 docs): every stage is a fixed, bounded
