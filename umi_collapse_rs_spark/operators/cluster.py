@@ -35,6 +35,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Broadcast the gather frontier when its estimated size (~150 B/row)
+# fits comfortably on every executor; above this it shuffles normally.
+_BROADCAST_BYTES = 64 * 1024 * 1024
+
 
 def _label_init(nodes: DataFrame, id_col: str) -> DataFrame:
     return nodes.select(
@@ -64,56 +68,55 @@ def propagate_min_label(
     fixpoint is the true min over ancestors; pointer jumping makes deep
     chains converge in O(log depth) rounds.
     """
-    # Serial driver latency is the one cost that scales with NOTHING, so
-    # the loop minimizes jobs per round: one checkpoint job + one
-    # short-circuit convergence probe on the checkpointed result.  AQE
-    # stays ON — its auto-broadcast of the (tiny) label table and
-    # exchange reuse across the self-join branches beat its re-planning
-    # overhead (measured both ways at 150k pages).
+    # DELTA (frontier) propagation: labels only ever decrease, so an
+    # in-neighbor whose label did NOT change last round contributed its
+    # minimum in an earlier round already — gathering from CHANGED
+    # sources only is exact, and after round 0 the frontier collapses
+    # to a small fraction of the graph.  The per-round convergence
+    # probe is a count on the changed set; when the frontier is small
+    # the gather join gets an explicit broadcast hint (the driver KNOWS
+    # the count — no reliance on stats AQE cannot see through a
+    # localCheckpoint), so the big edge table stops shuffling entirely
+    # for the tail rounds.  At cluster scale early rounds exceed the
+    # hint threshold and run as ordinary shuffle joins.
     labels = _label_init(nodes, id_col).localCheckpoint(eager=True)
     edges = edges.select("src", "dst").localCheckpoint(eager=True)
     old_type = labels.schema["label"].dataType.simpleString()
+    changed: DataFrame | None = None  # None => full gather (round 0)
+    n_changed = -1
 
-    def superstep(lbl: DataFrame, keep_old: bool) -> DataFrame:
-        """One gather + pointer-jump.  With ``keep_old`` the node's
-        pre-step label rides along as ``_old`` (ignore-nulls max over
-        the self row) so convergence needs no join against the previous
-        round."""
-        old_col = F.col("label") if keep_old else F.col("_old")
-        self_rows = lbl.select("_nid", "label", old_col.alias("_old"))
-        incoming = edges.join(lbl, edges["src"] == lbl["_nid"]).select(
+    for _ in range(max_iterations):
+        frontier = labels if changed is None else changed
+        if 0 <= n_changed and n_changed * 150 < _BROADCAST_BYTES:
+            frontier = F.broadcast(frontier)
+        incoming = edges.join(frontier, edges["src"] == frontier["_nid"]).select(
             F.col("dst").alias("_nid"),
             "label",
             F.lit(None).cast(old_type).alias("_old"),
         )
+        self_rows = labels.select("_nid", "label", F.col("label").alias("_old"))
         combined = (
             self_rows.unionByName(incoming)
             .groupBy("_nid")
             .agg(F.min("label").alias("label"), F.max("_old").alias("_old"))
         )
+        # pointer jump (label <- label(label)) for O(log depth) rounds
         roots = combined.select(F.col("_nid").alias("_rid"), F.col("label").alias("_rlabel"))
-        return combined.join(
-            roots, combined["label"]["lid"] == roots["_rid"], "left"
-        ).select(
-            "_nid",
-            F.least(F.col("label"), F.coalesce(F.col("_rlabel"), F.col("label"))).alias(
-                "label"
-            ),
-            "_old",
+        jumped = (
+            combined.join(roots, combined["label"]["lid"] == roots["_rid"], "left")
+            .select(
+                "_nid",
+                F.least(F.col("label"), F.coalesce(F.col("_rlabel"), F.col("label"))).alias(
+                    "label"
+                ),
+                "_old",
+            )
+            .localCheckpoint(eager=True)
         )
-
-    # TWO supersteps per materialization: the checkpoint job and the
-    # convergence probe are driver-serial costs that scale with nothing,
-    # so halving their count halves the loop's serial floor; the deeper
-    # (but still bounded) two-step plan stays JVM-side
-    for _ in range(max_iterations):
-        jumped = superstep(superstep(labels, keep_old=True), keep_old=False)
-        jumped = jumped.localCheckpoint(eager=True)
-        # probe the checkpointed result: short-circuits at the first
-        # changed row while the loop is still making progress
-        converged = jumped.filter(F.col("label") != F.col("_old")).isEmpty()
+        changed = jumped.filter(F.col("label") != F.col("_old")).select("_nid", "label")
+        n_changed = changed.count()
         labels = jumped.drop("_old")
-        if converged:
+        if n_changed == 0:
             break
     return labels.select(F.col("_nid").alias(id_col), F.col("label")["lid"].alias("root_id"))
 
