@@ -156,6 +156,10 @@ at parallel efficiency ~0.96 against the single-core numpy floor.
 
 Reproduce: `python tools/bench_scaling.py {n_pages}`
 
+Correctness evidence (dup-pair recall >= 0.99 + zero assignment
+mismatches vs the reference-semantics oracle at 150k pages): see
+BENCH/RECALL.md.
+
 Headline throughput (sf0.1 bench tier, 150k fixture pages, local[32],
 steady-state after warmup): see the
 driver-recorded BENCH_r*.json from `bench.py` (`pages_per_sec`).
