@@ -68,6 +68,25 @@ def test_exact_collapse_is_single_aggregate_exchange(spark, pages_path):
     assert "Aggregate" in plan
 
 
+def test_pair_expansion_is_one_exchange_one_window(spark):
+    """pairs_from_buckets (capped regime) must stay a single exchange on
+    the bucket key feeding a single WindowExec — the bucket-size count
+    and every lead() share one window spec, so one sort serves all of
+    them, and no collect_list / python node appears anywhere."""
+    import re
+
+    from umi_collapse_rs_spark.operators.candidates import pairs_from_buckets
+
+    df = spark.createDataFrame(
+        [(i % 7, f"id{i:03d}", i) for i in range(100)], "b int, id string, o long"
+    )
+    plan = _plan(pairs_from_buckets(df, ["b"], "id", "o", cap=8, chain_width=4))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1
+    assert "collect_list" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_semi_join_goes_broadcast_when_small(spark):
     sf = "/root/testdata/sf0.001"
     big = spark.read.parquet(f"{sf}/lineitem.parquet")
