@@ -1,7 +1,9 @@
 #!/usr/bin/env python3
 """Scaling-efficiency evidence (north_rule: throughput efficiency >= 0.8
-from N to 4N executors; sandbox stand-in: local[8] vs local[32] on the
-SAME input, fresh JVM each, per the driver instruction).
+from N to 4N executors; sandbox stand-in per the driver instruction: the
+same job on the SAME input at two pinned-CPU parallelism levels, fresh
+JVM each; 1 vs 4 pinned CPUs is the pairing free of this host's DRAM /
+SMT ceilings — see BENCH/BASELINE.md).
 
 Runs the full dedup pipeline via spark-submit at both parallelism
 levels and writes BENCH/BASELINE.md.  Usage:
