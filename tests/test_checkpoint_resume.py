@@ -65,6 +65,21 @@ def test_resume_recomputes_only_missing_suffix(spark, ckpt_root):
     assert _clusters_pdf(res).equals(before)
 
 
+def test_resume_with_file_uri_root(spark, tmp_path):
+    """Checkpoint root given as a ``file://`` URI — the API-compatible
+    stand-in for hdfs:///s3a:// roots.  The Hadoop-FS probe must detect
+    completed stages through the scheme (a plain os.path.exists on the
+    URI string would never resume)."""
+    pages = pages_spark_df(spark, 120)
+    cfg = DedupConfig(checkpoint_dir=f"file://{tmp_path}/ckpt_uri")
+    cold = run_dedup_pipeline(spark, pages, cfg)
+    cold_pdf = _clusters_pdf(cold)
+    warm = run_dedup_pipeline(spark, pages, cfg)
+    resumed = {r["stage"] for r in warm.stage_metrics if r.get("resumed")}
+    assert {"s1_norm", "s2_exact_reps", "s3_fingerprints", "s5_verified_pairs"} <= resumed
+    assert _clusters_pdf(warm).equals(cold_pdf)
+
+
 def test_byte_identical_text_through_resume(spark, ckpt_root):
     """input_hint per-row invariant survives a resumed run: canonical
     pages carry text byte-identical to the source rows."""

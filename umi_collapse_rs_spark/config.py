@@ -66,3 +66,5 @@ class DedupConfig:
             raise ValueError("simhash_bits must be divisible by simhash_bands")
         if self.algo not in ("dir", "adj", "cc"):
             raise ValueError(f"unknown algo {self.algo!r}")
+        if not 1 <= self.chain_width <= 32:
+            raise ValueError("chain_width must be in [1, 32] (lead() plan-width bound)")

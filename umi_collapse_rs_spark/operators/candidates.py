@@ -71,6 +71,11 @@ def pairs_from_buckets(
     up to ``chain_width`` for capped ones — lead() beyond the bucket
     end is NULL, which encodes the j <= bsz-1 bound for free.
     """
+    # chain_width is a lead() fan-out and must respect the plan-width
+    # bound; clamping here also makes the hot-bucket recursion below a
+    # guaranteed base case (cap-1 == chain_width <= _MAX_LEADS takes the
+    # lead branch, never re-entering this one).
+    chain_width = max(1, min(chain_width, _MAX_LEADS))
     if cap - 1 > _MAX_LEADS:
         # Essentially-uncapped setting (oracle checks / brute-force
         # parity runs): all-pairs needs up to cap-1 neighbors per

@@ -35,9 +35,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Broadcast the gather frontier when its estimated size (~150 B/row)
-# fits comfortably on every executor; above this it shuffles normally.
+# Broadcast the gather frontier when its estimated size fits
+# comfortably on every executor; above this it shuffles normally.
+# The per-row estimate is derived from the frontier's OBSERVED average
+# id length (the id string appears twice per row: _nid and label.lid),
+# not a hardcoded constant — real crawl URLs run 100-300 B and a
+# fixed guess would let a "64 MB" frontier materialize several hundred
+# MB on every executor.
 _BROADCAST_BYTES = 64 * 1024 * 1024
+_ROW_OVERHEAD = 48  # long freq field + struct/row bookkeeping
 
 
 def _label_init(nodes: DataFrame, id_col: str) -> DataFrame:
@@ -84,10 +90,11 @@ def propagate_min_label(
     old_type = labels.schema["label"].dataType.simpleString()
     changed: DataFrame | None = None  # None => full gather (round 0)
     n_changed = -1
+    frontier_bytes = -1
 
     for _ in range(max_iterations):
         frontier = labels if changed is None else changed
-        if 0 <= n_changed and n_changed * 150 < _BROADCAST_BYTES:
+        if 0 <= frontier_bytes < _BROADCAST_BYTES:
             frontier = F.broadcast(frontier)
         incoming = edges.join(frontier, edges["src"] == frontier["_nid"]).select(
             F.col("dst").alias("_nid"),
@@ -114,7 +121,14 @@ def propagate_min_label(
             .localCheckpoint(eager=True)
         )
         changed = jumped.filter(F.col("label") != F.col("_old")).select("_nid", "label")
-        n_changed = changed.count()
+        # one action per round: convergence count + observed id width
+        # (drives the broadcast decision for the NEXT round's gather)
+        stats = changed.agg(
+            F.count(F.lit(1)).alias("n"), F.avg(F.length("_nid")).alias("id_len")
+        ).first()
+        n_changed = stats["n"]
+        per_row = 2 * (stats["id_len"] or 0.0) + _ROW_OVERHEAD
+        frontier_bytes = int(n_changed * per_row)
         labels = jumped.drop("_old")
         if n_changed == 0:
             break

@@ -11,10 +11,21 @@ log.
 
 from __future__ import annotations
 
-import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Probe a path through the Hadoop FileSystem API, so checkpoint
+    roots on hdfs:// / s3a:// / file:/ resolve the same way Spark's
+    writers do.  (A plain ``os.path.exists`` only sees the local posix
+    filesystem and silently never resumes on object stores — the real-
+    cluster case the north_rule targets.)"""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
 
 
 class StageCheckpointer:
@@ -31,12 +42,12 @@ class StageCheckpointer:
 
     def _path(self, stage: str) -> str:
         assert self.root is not None
-        return os.path.join(self.root, stage)
+        return f"{self.root.rstrip('/')}/{stage}"
 
     def is_done(self, stage: str) -> bool:
         if self.root is None:
             return False
-        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+        return _hadoop_path_exists(self.spark, f"{self._path(stage)}/_SUCCESS")
 
     def materialize(self, stage: str, build) -> DataFrame:
         """Return the stage output, building + persisting it if needed.
