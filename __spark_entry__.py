@@ -348,64 +348,84 @@ def q_cosine_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# non-SQL-expressible ops (rows-only driver check; oracle-checked in tests/)
+# sql-fingerprint pipeline queries (driver-oracle-checked end to end)
+#
+# The production pipeline hashes shingles with pd.util.hash_array inside
+# the pandas UDF ('numpy' mode — benched by bench.py, recall-verified in
+# tests).  These driver queries run the SAME operators in 'sql'
+# fingerprint mode (sha256-based Column expressions, functions/sqlfp.py)
+# so DuckDB can recompute every value: fingerprints, candidates, verify,
+# gate, clustering, clusters table all get a bit-exact oracle.
 # ---------------------------------------------------------------------------
+
+# Must stay in lockstep with umi_collapse_rs_spark/oracles.py constants.
+_SQL_PIPELINE_CFG = dict(
+    fingerprint="sql",
+    minhash_perms=16,
+    lsh_bands=16,
+    window_tokens=0,     # substring pass is numpy-mode-only (empty win_hashes)
+    bucket_pair_cap=10_000,  # uncapped at sf0.01 => banding is exact, oracle brute-forces
+    jaccard_threshold=0.5,
+)
 
 
 def q_embedding_near_dup_pairs(spark, sf_dir):
-    """Training-data dedup: embedding-cosine near-duplicate pairs across
-    the corpus (brute-force; the banded-LSH variant for scale is
-    embedding_lsh_ann).  Threshold 0.35: the synthetic embeddings are
-    near-orthogonal, so it sits where pairs exist and the operator is
-    exercised non-vacuously."""
-    from umi_collapse_rs_spark.functions.embeddings import cosine_sim_col
+    """Training-data dedup: embedding-cosine near-duplicate pairs,
+    LSH-blocked (pairs whose 4-plane bucket signatures differ in <= 1
+    bit) — an equi-join on probe buckets, no crossJoin in the plan.
+    The oracle applies the identical blocking predicate.  Threshold
+    0.35: the synthetic embeddings are near-orthogonal, so it sits
+    where pairs exist and the operator is exercised non-vacuously."""
+    from umi_collapse_rs_spark.functions.embeddings import lsh_blocked_near_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("eb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("src") < F.col("dst"))
-        .withColumn("sim", cosine_sim_col(F.col("ea"), F.col("eb")))
-        .filter(F.col("sim") >= 0.35)
-        .select("src", "dst", F.round("sim", 4).alias("cos_sim"))
-    )
+    return lsh_blocked_near_dup_pairs(e, "vec_id", "embedding", threshold=0.35)
 
 
 def q_simhash_fingerprints(spark, sf_dir):
-    """SURVEY §2 P1/X3: text -> 64-bit SimHash (pandas UDF)."""
-    from umi_collapse_rs_spark.functions.udfs import make_combined_fingerprint_udf
+    """SURVEY §2 P1/X3: text -> SimHash fingerprint, sql-reproducible
+    form (sha256 shingle hashes, pure Column expressions).  The numpy
+    pandas-UDF twin computes the same family (unit vectors + recall in
+    tests/test_fingerprint_core.py)."""
+    from umi_collapse_rs_spark.functions.sqlfp import hash60_col, shingles_col, simhash_col
 
-    udf = make_combined_fingerprint_udf(3, 128, 32, 42)
     d = _t(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
-    return d.select("doc_id", udf(norm).alias("_fp")).select(
-        "doc_id", F.col("_fp.simhash").alias("simhash")
-    )
+    hashes = F.transform(shingles_col(norm, 3), hash60_col)
+    return d.select("doc_id", simhash_col(hashes).alias("simhash"))
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """SURVEY §2 J1: MinHash-LSH candidate pairs over documents."""
-    from umi_collapse_rs_spark.functions.udfs import make_combined_fingerprint_udf
+    """SURVEY §2 J1: MinHash-LSH candidate pairs over documents —
+    sql-reproducible band values through the real bucket-join operator
+    (pairs_from_buckets), uncapped so the oracle is a plain band
+    equi-join."""
+    from umi_collapse_rs_spark.functions.sqlfp import with_sql_fingerprints
     from umi_collapse_rs_spark.operators.candidates import minhash_lsh_pairs
 
-    udf = make_combined_fingerprint_udf(3, 128, 32, 42)
     d = _t(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
-    fp = d.select(F.col("doc_id").alias("url"), udf(norm).alias("_fp")).select(
-        "url", F.col("_fp.simhash").alias("simhash"), F.col("_fp.mh_bands").alias("mh_bands")
+    fp = with_sql_fingerprints(
+        d.select("doc_id", norm.alias("text_norm")), "text_norm", 3, 16
+    ).select("doc_id", "simhash", "mh_bands")
+    return (
+        minhash_lsh_pairs(fp, cap=10_000, chain_width=4, id_col="doc_id")
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
     )
-    return minhash_lsh_pairs(fp, cap=64, chain_width=4).select("src", "dst")
 
 
 def q_dedup_clusters(spark, sf_dir, algo: str = "dir"):
     """The flagship: full near-dup pipeline (SURVEY §7.1) over the
-    documents table reshaped to pages."""
+    documents table reshaped to pages, in sql-fingerprint mode so the
+    DuckDB oracle recomputes the entire result (fingerprints ->
+    candidates -> verify -> gate -> cluster -> clusters table).
+    bench.py runs the numpy-mode pipeline for throughput."""
     from umi_collapse_rs_spark.config import DedupConfig
     from umi_collapse_rs_spark.plans.pipeline import run_dedup_pipeline
 
     pages = _docs_as_pages(spark, sf_dir)
-    res = run_dedup_pipeline(spark, pages, DedupConfig(algo=algo))
+    res = run_dedup_pipeline(spark, pages, DedupConfig(algo=algo, **_SQL_PIPELINE_CFG))
     return res.clusters
 
 
@@ -423,29 +443,37 @@ def q_dedup_clusters_adj(spark, sf_dir):
 
 def q_near_dup_pairs(spark, sf_dir):
     """Verified near-duplicate pair list (SURVEY §2 J1 + §2 edge union):
-    the engine's edge evidence with provenance + signature similarity."""
+    the engine's edge evidence with signature similarity, sql-fingerprint
+    mode (oracle brute-forces the same predicate over all pairs)."""
     from umi_collapse_rs_spark.config import DedupConfig
     from umi_collapse_rs_spark.plans.pipeline import run_dedup_pipeline
 
     pages = _docs_as_pages(spark, sf_dir)
-    res = run_dedup_pipeline(spark, pages, DedupConfig())
+    res = run_dedup_pipeline(spark, pages, DedupConfig(**_SQL_PIPELINE_CFG))
     return res.pairs.select(
         "src", "dst", "dist", F.round("sig_sim", 4).alias("sig_sim")
     )
 
 
 def q_embedding_lsh_ann(spark, sf_dir):
-    """Similarity search, scale path: random-hyperplane LSH bucketing +
-    within-bucket cosine — the distributed ANN variant."""
+    """Similarity search, scale path: multiprobe hyperplane-LSH
+    bucketing with a per-bucket neighbor cap + exact cosine re-rank —
+    the distributed ANN variant (dim is a parameter, no driver-side
+    inference; within-bucket expansion bounded by the cap)."""
     from umi_collapse_rs_spark.functions.embeddings import hyperplane_lsh_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return hyperplane_lsh_topk(e, "vec_id", "embedding", n_planes=8, k=3, seed=42)
+    return hyperplane_lsh_topk(e, "vec_id", "embedding")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q_dedup_clusters(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    Runs the production (numpy-fingerprint) pipeline."""
+    from umi_collapse_rs_spark.config import DedupConfig
+    from umi_collapse_rs_spark.plans.pipeline import run_dedup_pipeline
+
+    pages = _docs_as_pages(spark, "/root/testdata/sf0.001")
+    return run_dedup_pipeline(spark, pages, DedupConfig()).clusters
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -481,7 +509,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from umi_collapse_rs_spark import oracles
+    from umi_collapse_rs_spark.functions import embeddings as _embeddings
+
     return {
+        "simhash_fingerprints": oracles.simhash_fingerprints_oracle_sql(),
+        "minhash_lsh_pairs": oracles.minhash_lsh_pairs_oracle_sql(),
+        "dedup_clusters": oracles.dedup_clusters_oracle_sql("dir"),
+        "dedup_clusters_cc": oracles.dedup_clusters_oracle_sql("cc"),
+        "dedup_clusters_adj": oracles.dedup_clusters_oracle_sql("adj"),
+        "near_dup_pairs": oracles.near_dup_pairs_oracle_sql(),
         "exact_collapse": """
             SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_sha,
                    count(*) AS freq,
@@ -646,19 +683,8 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY 1, 2
         """,
-        "embedding_near_dup_pairs": """
-            SELECT a.vec_id AS src, b.vec_id AS dst,
-                   round(
-                     list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                              x -> x[1]::DOUBLE * x[2]::DOUBLE))
-                     / (sqrt(list_sum(list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE)))
-                        * sqrt(list_sum(list_transform(b.embedding, v -> v::DOUBLE * v::DOUBLE)))), 4) AS cos_sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                           x -> x[1]::DOUBLE * x[2]::DOUBLE))
-                  / (sqrt(list_sum(list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE)))
-                     * sqrt(list_sum(list_transform(b.embedding, v -> v::DOUBLE * v::DOUBLE)))) >= 0.35
-        """,
+        "embedding_near_dup_pairs": _embeddings.lsh_blocked_near_dup_oracle_sql(0.35),
+        "embedding_lsh_ann": _embeddings.hyperplane_lsh_topk_oracle_sql(),
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
             pairs AS (

@@ -27,8 +27,15 @@ class DedupConfig:
     lsh_bands: int = 32         # b bands of r = perms//b rows
     jaccard_threshold: float = 0.5   # signature-similarity verify threshold
     hash_seed: int = 42
+    # 'numpy': pd.util.hash_array shingles + OPH MinHash via the pandas
+    #          UDF — the production/bench path (fastest).
+    # 'sql':   sha256-based fingerprints as pure Column expressions,
+    #          bit-reproducible in DuckDB (functions/sqlfp.py) — the
+    #          driver-oracle path.  Same fingerprint families, different
+    #          stable hash.
+    fingerprint: str = "numpy"
 
-    # --- substring-overlap pass (stage 8) ---
+    # --- substring-overlap pass (stage 8; 0 disables the pass) ---
     window_tokens: int = 64     # fingerprint window width (tokens)
     window_stride: int = 32     # anchor density; a >=512-token verbatim overlap shares ~14 windows
     min_shared_windows: int = 3 # pair accepted when sharing this many window hashes
@@ -68,3 +75,5 @@ class DedupConfig:
             raise ValueError(f"unknown algo {self.algo!r}")
         if not 1 <= self.chain_width <= 32:
             raise ValueError("chain_width must be in [1, 32] (lead() plan-width bound)")
+        if self.fingerprint not in ("numpy", "sql"):
+            raise ValueError(f"unknown fingerprint mode {self.fingerprint!r}")

@@ -8,18 +8,22 @@ fingerprint's root (the max-freq, tie-min-url member, by construction of
 the label key), so canonical election is a join, and cluster stats are
 one aggregation.
 
-cluster_id is ``xxhash64(canonical_url)`` — deterministic and stable
-under resume/re-partitioning, unlike ``monotonically_increasing_id``
-(SURVEY §4 explicitly forbids it).  The reference's *dense* running-
-offset ids (cluster_tracker.rs / deduplicate_sam.rs:215) are an artifact
-of its serial loop; a dense variant is available via dense_rank for
-tests but is a global sort — not the default at scale.
+cluster_id is a 64-bit sha256-derived hash of ``canonical_url``
+(functions/sqlfp.hash64_col) — deterministic and stable under resume /
+re-partitioning, unlike ``monotonically_increasing_id`` (SURVEY §4
+explicitly forbids it), and — unlike the previous ``xxhash64`` — bit-
+reproducible by the DuckDB correctness oracle.  The reference's *dense*
+running-offset ids (cluster_tracker.rs / deduplicate_sam.rs:215) are an
+artifact of its serial loop; a dense variant is available via
+dense_rank for tests but is a global sort — not the default at scale.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from umi_collapse_rs_spark.functions.sqlfp import hash64_col
 
 
 def build_clusters_table(
@@ -57,7 +61,7 @@ def build_clusters_table(
         .join(cluster_sizes, "canonical_url")
         .select(
             "url",
-            F.xxhash64("canonical_url").alias("cluster_id"),
+            hash64_col(F.col("canonical_url")).alias("cluster_id"),
             "canonical_url",
             "cluster_size",
             F.col("freq").alias("exact_dup_count"),

@@ -1,0 +1,303 @@
+"""DuckDB oracle-SQL generators for the sql-fingerprint pipeline
+queries (driver contract, ``__spark_entry__.oracle_sql``).
+
+Each generator emits ONE self-contained SQL string that recomputes, in
+DuckDB, exactly what the Spark pipeline computes in sql-fingerprint
+mode over the ``documents`` table reshaped to pages:
+
+  normalize -> exact collapse -> sha-based fingerprints (sqlfp) ->
+  BRUTE-FORCE candidate pairs (the O(n^2) ground truth the banded
+  self-joins must equal at uncapped settings) -> verify -> gate ->
+  clustering (dir/adj/cc) -> clusters table.
+
+Clustering oracles:
+
+- ``dir``/``cc``: a recursive-CTE transitive closure.  Directional
+  greedy equals minimum-priority-label over gated-reachability
+  (operators/cluster.py docstring, SURVEY §2.1 D1), so the oracle is
+  literally "root(n) = min-key node that gated-reaches n".
+- ``adj``: the one-hop greedy (LFMIS-style) has no closed form; the
+  oracle replays the same frontier-peeling rounds as
+  operators/cluster.adjacency_assign inside a recursive CTE that
+  carries the full decided-set forward each iteration (UNION ALL +
+  iteration counter; DuckDB's working table holds only the previous
+  iteration's rows, so each round re-emits the whole state).
+
+The brute-force pair predicate mirrors operators/edges.verify_pairs:
+a pair survives iff Hamming(simhash) <= k (simhash evidence — sig_sim
+reported NULL) or >= ceil(threshold * B) of its B band values match
+(LSH evidence verified by signature similarity).
+"""
+
+from __future__ import annotations
+
+from umi_collapse_rs_spark.functions.sqlfp import fingerprint_ctes, hash64_sql
+
+# Driver-query pipeline config (must stay in lockstep with
+# __spark_entry__._SQL_PIPELINE_CFG).
+SQL_K = 3
+SQL_BANDS = 16
+SQL_HAMMING_K = 3
+SQL_SIG_THRESHOLD = 0.5
+SQL_MIN_EQ = 8  # ceil(SQL_SIG_THRESHOLD * SQL_BANDS)
+
+# documents -> pages reshape constants (mirrors __spark_entry__._docs_as_pages)
+PAGES_SQL = """
+        pages AS (
+            SELECT printf('doc://%07d', doc_id) AS url,
+                   to_timestamp(1735689600 + doc_id * 17) AS warc_ts,
+                   text, lang
+            FROM documents
+        ),
+        norm AS (
+            SELECT url, warc_ts, lang,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm
+            FROM pages
+        )"""
+
+# exact collapse: representative = min (warc_ts, url) member of each
+# normalized-text group (operators/exact.exact_collapse)
+COLLAPSE_SQL = """
+        grp AS (
+            SELECT sha256(text_norm) AS text_sha,
+                   any_value(text_norm) AS text_norm,
+                   min(printf('%020d|%s', epoch(warc_ts)::BIGINT, url)) AS repkey,
+                   count(*) AS freq
+            FROM norm GROUP BY 1
+        ),
+        reps AS (
+            SELECT text_sha, text_norm,
+                   split_part(repkey, '|', 2) AS url, freq
+            FROM grp
+        ),
+        fpdocs AS (SELECT url, freq, text_norm FROM reps)"""
+
+
+def _verified_pairs_sql() -> str:
+    """Brute-force candidate + verify CTEs -> ``verified(src, dst,
+    dist, f_src, f_dst, sig_sim)``."""
+    return f"""
+        pairs0 AS (
+            SELECT a.url AS src, b.url AS dst,
+                   bit_count(xor(a.simhash, b.simhash)) AS dist,
+                   a.freq AS f_src, b.freq AS f_dst
+            FROM fp a JOIN fp b ON a.url < b.url
+        ),
+        bm AS (
+            SELECT a.url AS src, b.url AS dst, count(*) AS n_eq
+            FROM bands a JOIN bands b
+              ON a.b = b.b AND a.bv = b.bv AND a.url < b.url
+            GROUP BY 1, 2
+        ),
+        verified AS (
+            SELECT p.src, p.dst, p.dist, p.f_src, p.f_dst,
+                   CASE WHEN p.dist <= {SQL_HAMMING_K} THEN NULL
+                        ELSE bm.n_eq / {SQL_BANDS}.0 END AS sig_sim
+            FROM pairs0 p LEFT JOIN bm USING (src, dst)
+            WHERE p.dist <= {SQL_HAMMING_K} OR coalesce(bm.n_eq, 0) >= {SQL_MIN_EQ}
+        )"""
+
+
+def _prefix() -> str:
+    return (
+        PAGES_SQL
+        + ","
+        + COLLAPSE_SQL
+        + ","
+        + fingerprint_ctes(SQL_K, SQL_BANDS)
+        + ","
+        + _verified_pairs_sql()
+    )
+
+
+# priority key: freq desc, then url asc — cluster.py's struct(-freq, url)
+_KEY = "printf('%010d|%s', 2000000000 - f.freq, f.url)"
+
+_NODES_KEYS_SQL = f"""
+        pnodes AS (
+            SELECT DISTINCT url FROM (
+                SELECT src AS url FROM verified
+                UNION ALL SELECT dst FROM verified)
+        ),
+        keys AS (
+            SELECT f.url, {_KEY} AS k
+            FROM fp f JOIN pnodes USING (url)
+        )"""
+
+
+def _clusters_select_sql(roots_cte: str) -> str:
+    """Final clusters-table assembly from a ``roots(url, root_id)`` CTE
+    (mirrors operators/canonical.build_clusters_table)."""
+    return f"""
+        {roots_cte},
+        rep_assign AS (
+            SELECT r.text_sha, r.freq,
+                   coalesce(ro.root_id, r.url) AS canonical_url
+            FROM reps r LEFT JOIN roots ro ON ro.url = r.url
+        ),
+        csz AS (
+            SELECT canonical_url, sum(freq)::BIGINT AS cluster_size
+            FROM rep_assign GROUP BY 1
+        ),
+        members AS (SELECT url, sha256(text_norm) AS text_sha FROM norm)
+        SELECT m.url,
+               {hash64_sql('ra.canonical_url')} AS cluster_id,
+               ra.canonical_url,
+               c.cluster_size,
+               ra.freq AS exact_dup_count
+        FROM members m
+        JOIN rep_assign ra USING (text_sha)
+        JOIN csz c USING (canonical_url)"""
+
+
+def dedup_clusters_oracle_sql(algo: str) -> str:
+    if algo == "dir":
+        edges = f"""
+        gated AS (
+            SELECT src, dst FROM verified
+            WHERE dist = 0 OR f_dst <= floor(0.5 * (f_src + 1))
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM verified
+            WHERE dist = 0 OR f_src <= floor(0.5 * (f_dst + 1))
+        )"""
+    elif algo == "cc":
+        edges = """
+        gated AS (
+            SELECT src, dst FROM verified
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM verified
+        )"""
+    elif algo == "adj":
+        return _adj_oracle_sql()
+    else:  # pragma: no cover
+        raise ValueError(algo)
+
+    closure = f"""
+        reach AS (
+            SELECT url AS n, url AS anc FROM keys
+            UNION
+            SELECT r.n, e.src AS anc
+            FROM reach r JOIN gated e ON e.dst = r.anc
+        )"""
+    roots = """roots AS (
+            SELECT r.n AS url, min_by(r.anc, k2.k) AS root_id
+            FROM reach r JOIN keys k2 ON k2.url = r.anc
+            GROUP BY r.n
+        )"""
+    return (
+        "WITH RECURSIVE "
+        + _prefix()
+        + ","
+        + edges
+        + ","
+        + _NODES_KEYS_SQL
+        + ","
+        + closure
+        + ","
+        + _clusters_select_sql(roots)
+    )
+
+
+def _adj_oracle_sql() -> str:
+    """One-hop greedy adjacency via frontier peeling in a recursive CTE.
+
+    Round invariant (same as operators/cluster.adjacency_assign): a
+    node resolves when no better-priority *undecided* neighbor remains;
+    it is absorbed by its min-key adjacent decided ROOT with better
+    priority, else becomes a root.  Each iteration re-emits the full
+    decided set (working-table semantics) tagged with an iteration
+    counter; the final state is the max-iteration snapshot.
+    """
+    peel = """
+        sym AS (
+            SELECT src, dst FROM verified
+            UNION
+            SELECT dst AS src, src AS dst FROM verified
+        ),
+        adjassign AS (
+            SELECT 0 AS it, k.url, k.url AS root_id, k.k
+            FROM keys k
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sym s JOIN keys k2 ON k2.url = s.src
+                WHERE s.dst = k.url AND k2.k < k.k)
+            UNION ALL
+            SELECT (SELECT max(p.it) FROM adjassign p) + 1 AS it,
+                   u.url, u.root_id, u.k
+            FROM (
+                SELECT url, root_id, k FROM adjassign
+                UNION ALL
+                SELECT v.url,
+                       coalesce(
+                           (SELECT min_by(d.url, d.k)
+                            FROM adjassign d JOIN sym s ON s.src = d.url
+                            WHERE s.dst = v.url AND d.k < v.k
+                              AND d.root_id = d.url),
+                           v.url) AS root_id,
+                       v.k
+                FROM keys v
+                WHERE v.url NOT IN (SELECT url FROM adjassign)
+                  AND NOT EXISTS (
+                      SELECT 1 FROM sym s
+                      WHERE s.dst = v.url
+                        AND s.src NOT IN (SELECT url FROM adjassign)
+                        AND (SELECT k2.k FROM keys k2 WHERE k2.url = s.src) < v.k)
+            ) u
+            WHERE EXISTS (
+                SELECT 1 FROM keys kk
+                WHERE kk.url NOT IN (SELECT url FROM adjassign))
+        )"""
+    roots = """roots AS (
+            SELECT url, root_id FROM adjassign
+            WHERE it = (SELECT max(it) FROM adjassign)
+        )"""
+    return (
+        "WITH RECURSIVE "
+        + _prefix()
+        + ","
+        + _NODES_KEYS_SQL
+        + ","
+        + peel
+        + ","
+        + _clusters_select_sql(roots)
+    )
+
+
+def near_dup_pairs_oracle_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _prefix()
+        + """
+        SELECT src, dst, dist, round(sig_sim, 4) AS sig_sim FROM verified"""
+    )
+
+
+def simhash_fingerprints_oracle_sql() -> str:
+    """Per-document sha-based SimHash over raw documents (no collapse)."""
+    return (
+        "WITH "
+        + """fpdocs AS (
+            SELECT doc_id AS url, 1 AS freq,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm
+            FROM documents
+        ),"""
+        + fingerprint_ctes(SQL_K, SQL_BANDS)
+        + """
+        SELECT url AS doc_id, simhash FROM fp"""
+    )
+
+
+def minhash_lsh_pairs_oracle_sql() -> str:
+    """Distinct band-bucket candidate pairs over raw documents."""
+    return (
+        "WITH "
+        + """fpdocs AS (
+            SELECT doc_id AS url, 1 AS freq,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm
+            FROM documents
+        ),"""
+        + fingerprint_ctes(SQL_K, SQL_BANDS)
+        + """
+        SELECT DISTINCT a.url AS src, b.url AS dst
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bv = b.bv AND a.url < b.url"""
+    )

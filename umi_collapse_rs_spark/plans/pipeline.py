@@ -84,14 +84,15 @@ def run_dedup_pipeline(
             }
         )
 
-    fp_udf = make_combined_fingerprint_udf(
-        cfg.shingle_k,
-        cfg.minhash_perms,
-        cfg.lsh_bands,
-        cfg.hash_seed,
-        window_tokens=cfg.window_tokens,
-        window_stride=cfg.window_stride,
-    )
+    if cfg.fingerprint == "numpy":
+        fp_udf = make_combined_fingerprint_udf(
+            cfg.shingle_k,
+            cfg.minhash_perms,
+            cfg.lsh_bands,
+            cfg.hash_seed,
+            window_tokens=cfg.window_tokens,
+            window_stride=cfg.window_stride,
+        )
 
     # stage 1: normalize ONCE and persist the working set — reps,
     # members, lineage, and the metrics aggregation all derive from this
@@ -115,21 +116,26 @@ def run_dedup_pipeline(
     reps, members = exact_collapse(pages_norm)
     reps = ckpt.materialize("s2_exact_reps", lambda: reps)
 
-    # stage 3: fingerprints (the only Python in the pipeline)
+    # stage 3: fingerprints.  'numpy' mode: the pandas UDF (the only
+    # Python in the pipeline).  'sql' mode: pure Column expressions
+    # bit-reproducible in the DuckDB oracle (functions/sqlfp.py).
+    fp_cols = ["url", "freq", "simhash", "mh_bands", "mh_sig"]
+    if cfg.window_tokens:
+        fp_cols.append("win_hashes")
+
     def build_fp() -> DataFrame:
+        if cfg.fingerprint == "sql":
+            from umi_collapse_rs_spark.functions.sqlfp import with_sql_fingerprints
+
+            return with_sql_fingerprints(
+                reps, "text_norm", cfg.shingle_k, cfg.lsh_bands
+            ).select(*fp_cols)
         # re-spread rows before the UDF: the exact-collapse output is
         # partitioned by text_sha ranges whose byte sizes can skew; a
         # straggler Arrow batch would serialize the whole stage
         return reps.repartition(cfg.shuffle_partitions, "url").select(
             "url", "freq", "text_norm", fp_udf("text_norm").alias("_fp")
-        ).select(
-            "url",
-            "freq",
-            F.col("_fp.simhash").alias("simhash"),
-            F.col("_fp.mh_bands").alias("mh_bands"),
-            F.col("_fp.mh_sig").alias("mh_sig"),
-            F.col("_fp.win_hashes").alias("win_hashes"),
-        )
+        ).select("url", "freq", *[F.col(f"_fp.{c}").alias(c) for c in fp_cols[2:]])
 
     fp = ckpt.materialize("s3_fingerprints", build_fp)
 
@@ -143,10 +149,14 @@ def run_dedup_pipeline(
             fp, cfg.hamming_k, cfg.simhash_bands, cfg.bucket_pair_cap, cfg.chain_width
         )
         mh_pairs = minhash_lsh_pairs(fp, cfg.bucket_pair_cap, cfg.chain_width)
-        win_pairs = window_overlap_pairs(
-            fp, cfg.min_shared_windows, cfg.bucket_pair_cap, cfg.chain_width
-        )
-        return candidate_pairs_with_dist([sim_pairs, mh_pairs, win_pairs], fp)
+        sources = [sim_pairs, mh_pairs]
+        if cfg.window_tokens:
+            sources.append(
+                window_overlap_pairs(
+                    fp, cfg.min_shared_windows, cfg.bucket_pair_cap, cfg.chain_width
+                )
+            )
+        return candidate_pairs_with_dist(sources, fp)
 
     candidates = ckpt.materialize("s4_candidates", build_candidates)
 
