@@ -76,6 +76,45 @@ def q_merge_rule_best(spark, sf_dir):
     )
 
 
+def _merge_rule_query(spark, sf_dir, merge: str):
+    """SURVEY §2 A2-A5: the REAL exact-collapse operator under a chosen
+    merge rule (reference merge/mod.rs:6-51).  Group key = first two
+    normalized tokens (the dup-sparse documents table has no full-text
+    exact dups at sf0.01; the 2-token prefix plants non-vacuous groups
+    while exercising the operator unchanged)."""
+    from umi_collapse_rs_spark.operators.exact import exact_collapse
+
+    pages = _docs_as_pages(spark, sf_dir)
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    trunc = F.substring_index(norm, " ", 2)
+    pages_n = pages.select(
+        "url",
+        "warc_ts",
+        "lang",
+        trunc.alias("text_norm"),
+        F.sha2(trunc, 256).alias("text_sha"),
+        F.length("text").alias("text_len"),
+    )
+    reps, _ = exact_collapse(pages_n, merge)
+    return reps.select("text_sha", F.col("url").alias("rep_url"), "freq")
+
+
+def q_merge_rule_earliest(spark, sf_dir):
+    """Merge rule 'earliest' — the mapqual analog (merge/mod.rs:39-51)."""
+    return _merge_rule_query(spark, sf_dir, "earliest")
+
+
+def q_merge_rule_quality(spark, sf_dir):
+    """Merge rule 'quality' — the avgqual analog (merge/mod.rs:25-37):
+    longest raw text wins, deterministic tie-break."""
+    return _merge_rule_query(spark, sf_dir, "quality")
+
+
+def q_merge_rule_any(spark, sf_dir):
+    """Merge rule 'any' — deterministic first-wins (merge/mod.rs:10-23)."""
+    return _merge_rule_query(spark, sf_dir, "any")
+
+
 def q_filter_stats(spark, sf_dir):
     """SURVEY §2 F1-F3 + A6: filters as counters (global stats)."""
     d = _t(spark, sf_dir, "documents")
@@ -158,32 +197,17 @@ def q_hamming_self_join(spark, sf_dir):
 
 def q_ngram_jaccard(spark, sf_dir):
     """Training-data dedup: exact token-set Jaccard >= 0.5 within
-    (lang, source) blocks — the n-gram Jaccard near-dup operator."""
+    (lang, source) blocks via PPJoin-style prefix filtering — hot
+    tokens never expand quadratically, result identical to the naive
+    all-token join (operators/jaccard.py; the oracle is the naive
+    formulation)."""
+    from umi_collapse_rs_spark.operators.jaccard import token_jaccard_pairs
+
     d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    tok = d.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.explode(F.array_distinct(F.split(F.lower("text"), r"\s+"))).alias("tok"),
+    pairs = token_jaccard_pairs(
+        d, 0.5, id_col="doc_id", text_col="text", block_cols=["lang", "source"]
     )
-    cnt = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = tok.select(F.col("doc_id").alias("src"), "lang", "source", "tok")
-    b = tok.select(F.col("doc_id").alias("dst"), "lang", "source", "tok")
-    inter = (
-        a.join(b, ["lang", "source", "tok"])
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    na = cnt.select(F.col("doc_id").alias("src"), F.col("n").alias("na"))
-    nb = cnt.select(F.col("doc_id").alias("dst"), F.col("n").alias("nb"))
-    return (
-        inter.join(na, "src")
-        .join(nb, "dst")
-        .withColumn("jac", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
-        .filter(F.col("jac") >= 0.5)
-        .select("src", "dst", F.round("jac", 4).alias("jaccard"))
-    )
+    return pairs.select("src", "dst", F.round("jaccard", 4).alias("jaccard"))
 
 
 def q_token_count(spark, sf_dir):
@@ -480,6 +504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_collapse": q_exact_collapse,
         "merge_rule_best": q_merge_rule_best,
+        "merge_rule_earliest": q_merge_rule_earliest,
+        "merge_rule_quality": q_merge_rule_quality,
+        "merge_rule_any": q_merge_rule_any,
         "filter_stats": q_filter_stats,
         "grouped_stats": q_grouped_stats,
         "semi_join": q_semi_join,
@@ -515,6 +542,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "simhash_fingerprints": oracles.simhash_fingerprints_oracle_sql(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_oracle_sql(),
+        "merge_rule_earliest": oracles.merge_rule_oracle_sql("earliest"),
+        "merge_rule_quality": oracles.merge_rule_oracle_sql("quality"),
+        "merge_rule_any": oracles.merge_rule_oracle_sql("any"),
         "dedup_clusters": oracles.dedup_clusters_oracle_sql("dir"),
         "dedup_clusters_cc": oracles.dedup_clusters_oracle_sql("cc"),
         "dedup_clusters_adj": oracles.dedup_clusters_oracle_sql("adj"),

@@ -22,9 +22,25 @@ def blobs_df(spark):
     return spark.createDataFrame(rows, "id long, blob binary").repartition(4)
 
 
-def test_real_decode_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...", fake=False)
+def test_real_decode_gated_on_pil():
+    """PIL present -> real decode works on a generated image; absent ->
+    an explicit NotImplementedError naming the fake fallback.  Both
+    sides of the extras gate are covered by this one test."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="fake=True"):
+            decode_image(b"\x89PNG...", fake=False)
+        return
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 12), (255, 0, 0)).save(buf, format="PNG")
+    w, h, feat = decode_image(buf.getvalue(), fake=False)
+    assert (w, h) == (20, 12)
+    assert len(feat) == 3 and feat[0] == pytest.approx(1.0)
 
 
 def test_fake_decode_deterministic():

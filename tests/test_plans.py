@@ -87,6 +87,62 @@ def test_pair_expansion_is_one_exchange_one_window(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_verify_signature_join_only_for_lsh_only_pairs(spark):
+    """The ~1 KB MinHash-signature join must touch ONLY pairs whose sole
+    evidence is an LSH bucket hit.  Proof by construction: a simhash
+    pair whose nodes have NULL signatures still passes through (the
+    signature join cannot be on its path), while an LSH-only pair is
+    signature-verified; and the physical plan contains exactly the two
+    signature-side joins."""
+    import re
+
+    from umi_collapse_rs_spark.operators.edges import verify_pairs
+
+    fp = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", [1, 2, 3, 4]), ("d", [1, 2, 9, 9])],
+        "url string, mh_sig array<long>",
+    )
+    cand = spark.createDataFrame(
+        [("a", "b", ["simhash"], 1), ("c", "d", ["minhash"], 9)],
+        "src string, dst string, sources array<string>, dist int",
+    )
+    out = verify_pairs(cand, fp, 0.5)
+    plan = _plan(out)  # before collect: post-execution explain would
+    #                    print the AQE initial plan too, doubling counts
+    rows = {(r.src, r.dst): r.sig_sim for r in out.collect()}
+    assert set(rows) == {("a", "b"), ("c", "d")}
+    assert rows[("a", "b")] is None          # passthrough, no signature read
+    assert rows[("c", "d")] == pytest.approx(0.5)
+    n_joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
+    assert n_joins == 2
+
+
+def test_embedding_ann_plan_no_cartesian_no_driver_action(spark):
+    """embedding_lsh_ann post-fix guardrails (VERDICT r1): building the
+    query must trigger NO Spark job (dim is a parameter, not inferred
+    via first()), and the candidate join must be a bucket equi-join —
+    no CartesianProduct / nested-loop anywhere."""
+    from umi_collapse_rs_spark.functions.embeddings import (
+        hyperplane_lsh_topk,
+        lsh_blocked_near_dup_pairs,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("ann_build_probe", "ann build must be lazy")
+    ann = hyperplane_lsh_topk(e, "vec_id", "embedding")
+    ndp = lsh_blocked_near_dup_pairs(e, "vec_id", "embedding", threshold=0.35)
+    assert sc.statusTracker().getJobIdsForGroup("ann_build_probe") == []
+    sc.setJobGroup("", "")
+    for df in (ann, ndp):
+        plan = _plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    # the neighbor side is capped per bucket => a row_number window
+    # bounds within-bucket expansion
+    assert "row_number" in _plan(ann)
+
+
 def test_semi_join_goes_broadcast_when_small(spark):
     sf = "/root/testdata/sf0.001"
     big = spark.read.parquet(f"{sf}/lineitem.parquet")

@@ -41,6 +41,11 @@ class DedupConfig:
     min_shared_windows: int = 3 # pair accepted when sharing this many window hashes
                                 # (one shared window is already 64 verbatim tokens)
 
+    # --- merge rule (ref: merge/mod.rs:6-51, mode defaults main.rs:33-39) ---
+    # 'earliest' (mapqual analog) | 'quality' (avgqual analog: longest
+    # raw text) | 'any' (deterministic first-wins: min url)
+    merge: str = "earliest"
+
     # --- clustering ---
     algo: str = "dir"           # 'dir' | 'adj' | 'cc'   (ref: cli.rs:33-36)
     directional_p: float = 0.5  # ref: cli.rs:25-26; gate = f_child*2 <= f_parent+1 at p=0.5
@@ -77,3 +82,5 @@ class DedupConfig:
             raise ValueError("chain_width must be in [1, 32] (lead() plan-width bound)")
         if self.fingerprint not in ("numpy", "sql"):
             raise ValueError(f"unknown fingerprint mode {self.fingerprint!r}")
+        if self.merge not in ("earliest", "quality", "any"):
+            raise ValueError(f"unknown merge rule {self.merge!r}")

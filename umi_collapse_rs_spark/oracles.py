@@ -262,6 +262,34 @@ def _adj_oracle_sql() -> str:
     )
 
 
+def merge_rule_oracle_sql(merge: str) -> str:
+    """Exact-collapse representative election under a merge rule, over
+    the 2-token-prefix group key (__spark_entry__._merge_rule_query).
+    Smallest key wins — mirrors operators/exact.merge_order_key."""
+    keys = {
+        "earliest": "printf('%020d|%s', epoch(warc_ts)::BIGINT, url)",
+        "quality": "printf('%010d|%020d|%s', 1000000000 - length(text), epoch(warc_ts)::BIGINT, url)",
+        "any": "url",
+    }
+    key = keys[merge]
+    return (
+        "WITH "
+        + PAGES_SQL
+        + f""",
+        b AS (
+            SELECT url, warc_ts, text,
+                   array_to_string(
+                       (string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))[1:2],
+                       ' ') AS tn
+            FROM pages
+        )
+        SELECT sha256(tn) AS text_sha,
+               min_by(url, {key}) AS rep_url,
+               count(*) AS freq
+        FROM b GROUP BY 1"""
+    )
+
+
 def near_dup_pairs_oracle_sql() -> str:
     return (
         "WITH RECURSIVE "

@@ -105,7 +105,7 @@ def run_dedup_pipeline(
     # while a metadata-only checkpoint + broadcast text re-fetch was
     # NET SLOWER because of the second full scan (see BENCH notes).
     in_cols = [c for c in ("url", "warc_ts", "text", "lang") if c in pages.columns]
-    keep = ["url", "warc_ts", *(["lang"] if "lang" in in_cols else []), "text_sha", "text_norm"]
+    keep = ["url", "warc_ts", *(["lang"] if "lang" in in_cols else []), "text_sha", "text_norm", "text_len"]
     pages_norm = ckpt.materialize(
         "s1_norm", lambda: with_norm(pages.select(*in_cols)).select(*keep)
     )
@@ -113,7 +113,7 @@ def run_dedup_pipeline(
     # stage 2: exact collapse (one hash-agg exchange, map-side partial
     # agg; the shuffle carries one text_norm per distinct sha per map
     # partition); members is a free projection of the stage-1 checkpoint
-    reps, members = exact_collapse(pages_norm)
+    reps, members = exact_collapse(pages_norm, cfg.merge)
     reps = ckpt.materialize("s2_exact_reps", lambda: reps)
 
     # stage 3: fingerprints.  'numpy' mode: the pandas UDF (the only
