@@ -429,9 +429,16 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
-    fp = with_sql_fingerprints(
-        d.select("doc_id", norm.alias("text_norm")), "text_norm", 3, 16
-    ).select("doc_id", "simhash", "mh_bands")
+    fp = (
+        with_sql_fingerprints(
+            d.select("doc_id", norm.alias("text_norm")), "text_norm", 3, 16
+        )
+        .select("doc_id", "simhash", "mh_bands")
+        # cut the plan: the sha-expression fingerprints feed BOTH sides
+        # of the bucket self-join — without this they are recomputed
+        # per side (measured 89 s vs ~3 s at sf0.1)
+        .localCheckpoint(eager=False)
+    )
     return (
         minhash_lsh_pairs(fp, cap=10_000, chain_width=4, id_col="doc_id")
         .select("src", "dst")
@@ -490,6 +497,16 @@ def q_embedding_lsh_ann(spark, sf_dir):
     return hyperplane_lsh_topk(e, "vec_id", "embedding")
 
 
+def q_embedding_ivf_ann(spark, sf_dir):
+    """Similarity search, IVF variant: deterministic unit-norm coarse
+    quantizer, nprobe=3 inverted-list probing, capped lists, exact
+    cosine re-rank (functions/embeddings.ivf_topk)."""
+    from umi_collapse_rs_spark.functions.embeddings import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(e, "vec_id", "embedding")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
     Runs the production (numpy-fingerprint) pipeline."""
@@ -532,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_adj": q_dedup_clusters_adj,
         "near_dup_pairs": q_near_dup_pairs,
         "embedding_lsh_ann": q_embedding_lsh_ann,
+        "embedding_ivf_ann": q_embedding_ivf_ann,
     }
 
 
@@ -715,6 +733,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dup_pairs": _embeddings.lsh_blocked_near_dup_oracle_sql(0.35),
         "embedding_lsh_ann": _embeddings.hyperplane_lsh_topk_oracle_sql(),
+        "embedding_ivf_ann": _embeddings.ivf_topk_oracle_sql(),
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
             pairs AS (

@@ -33,6 +33,13 @@ def main(argv: list[str] | None = None) -> int:
     src.add_argument("--fixture", type=int, help="generate N synthetic fixture pages instead")
     ap.add_argument("--output", required=True, help="output directory for result tables")
     ap.add_argument("--algo", choices=["dir", "adj", "cc"], default="dir")
+    ap.add_argument(
+        "--merge",
+        choices=["earliest", "quality", "any"],
+        default="earliest",
+        help="exact-dup representative rule (reference merge/mod.rs matrix: "
+        "mapqual/avgqual/any analogs)",
+    )
     ap.add_argument("--directional-p", type=float, default=0.5)
     ap.add_argument("--hamming-k", type=int, default=3)
     ap.add_argument("--shingle-k", type=int, default=3)
@@ -56,6 +63,7 @@ def main(argv: list[str] | None = None) -> int:
 
     cfg = DedupConfig(
         algo=args.algo,
+        merge=args.merge,
         directional_p=args.directional_p,
         hamming_k=args.hamming_k,
         shingle_k=args.shingle_k,
@@ -97,6 +105,7 @@ def main(argv: list[str] | None = None) -> int:
         "clusters": n_clusters,
         "dup_pages": n_pages - n_clusters,
         "algo": args.algo,
+        "merge": args.merge,
         "wall_sec": round(wall, 2),
         "pages_per_sec": round(n_pages / wall, 1),
         "stages": res.stage_metrics,

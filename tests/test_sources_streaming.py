@@ -74,6 +74,51 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert got["n"] == got["d"] == n_distinct
 
 
+def test_streaming_exact_collapse_state(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: per-key state
+    carries (rep, freq) across micro-batches — later batches UPDATE an
+    already-emitted key's count, which dropDuplicates cannot do."""
+    from umi_collapse_rs_spark.streaming.ingest import (
+        stream_pages,
+        streaming_exact_collapse_state,
+    )
+
+    src = str(tmp_path / "state_in")
+    os.makedirs(src)
+    pdf, _ = generate_pages(200)
+    pdf.iloc[:120].to_parquet(f"{src}/b1.parquet", index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    pdf.iloc[120:].to_parquet(f"{src}/b2.parquet", index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+
+    out = streaming_exact_collapse_state(stream_pages(spark, src), watermark="10 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # LAST emitted row per key must equal the batch exact-collapse
+    got = spark.sql(
+        """SELECT text_sha, rep_url, freq FROM (
+               SELECT *, row_number() OVER (PARTITION BY text_sha
+                                            ORDER BY freq DESC) AS rn
+               FROM state_stream) WHERE rn = 1"""
+    ).toPandas().set_index("text_sha").sort_index()
+
+    from umi_collapse_rs_spark.operators.exact import exact_collapse, with_norm
+
+    reps, _ = exact_collapse(with_norm(spark.read.parquet(src)))
+    want = (
+        reps.select("text_sha", F.col("url").alias("rep_url"), "freq")
+        .toPandas()
+        .set_index("text_sha")
+        .sort_index()
+    )
+    assert got["freq"].equals(want["freq"])
+    assert got["rep_url"].equals(want["rep_url"])
+
+
 def test_streaming_page_stats(spark, tmp_path):
     from umi_collapse_rs_spark.streaming.ingest import stream_pages, streaming_page_stats
 
@@ -132,7 +177,42 @@ def test_embedding_lsh_vs_brute_force(spark):
         c = centers[i % 2]
         rows.append((i, (c + 0.05 * rng.standard_normal(16)).astype(float).tolist()))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    got = hyperplane_lsh_topk(df, "vec_id", "embedding", n_planes=4, k=1, seed=1).collect()
+    out = hyperplane_lsh_topk(df, "vec_id", "embedding", dim=16, n_planes=4, k=1, seed=1)
+    got = out.collect()
     # top-1 neighbor must be in the same cluster for nearly all points
+    same = sum(1 for r in got if (r["qid"] % 2) == (r["neighbor_id"] % 2))
+    assert same / len(got) > 0.95
+    # the bucketing must actually discriminate: with a dim mismatch the
+    # plane dots go NULL and every vector collapses into bucket 0
+    from umi_collapse_rs_spark.functions.embeddings import (
+        hyperplane_signature_col,
+        lsh_planes,
+    )
+
+    n_buckets = (
+        df.select(
+            hyperplane_signature_col(F.col("embedding"), lsh_planes(4, 16, 1)).alias("b")
+        )
+        .distinct()
+        .count()
+    )
+    assert n_buckets > 1
+
+
+def test_embedding_ivf_vs_brute_force(spark):
+    """IVF ANN keeps cluster neighbors in probed lists on clustered
+    vectors (dim passed explicitly)."""
+    import numpy as np
+
+    from umi_collapse_rs_spark.functions.embeddings import ivf_topk
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((2, 16)) * 3
+    rows = []
+    for i in range(60):
+        c = centers[i % 2]
+        rows.append((i, (c + 0.05 * rng.standard_normal(16)).astype(float).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = ivf_topk(df, "vec_id", "embedding", dim=16, n_centroids=4, nprobe=2, k=1).collect()
     same = sum(1 for r in got if (r["qid"] % 2) == (r["neighbor_id"] % 2))
     assert same / len(got) > 0.95

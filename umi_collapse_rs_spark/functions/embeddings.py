@@ -170,6 +170,77 @@ def lsh_blocked_near_dup_pairs(
     )
 
 
+def ivf_centroids(n_centroids: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids for a seed."""
+    c = np.random.default_rng(seed).standard_normal((n_centroids, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    dim: int = EMBEDDING_DIM,
+    n_centroids: int = 16,
+    nprobe: int = 5,
+    k: int = 3,
+    list_cap: int = 256,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via an IVF coarse quantizer.
+
+    Every vector is assigned to its nearest centroid (argmax dot against
+    unit centroids — rank 1 of the per-vector centroid ranking); queries
+    probe their ``nprobe`` nearest centroids' inverted lists.  Lists are
+    capped at ``list_cap`` members (rank by id, deterministic), bounding
+    the candidate join at nprobe * list_cap rows per query regardless of
+    list skew; exact cosine re-ranks.  Centroids are a deterministic
+    function of the seed, so the DuckDB oracle embeds the same literals
+    (at real scale they would come from a k-means fit — the operator
+    shape is identical).
+    """
+    cents = ivf_centroids(n_centroids, dim, seed)
+    dots = F.array(
+        *[
+            F.struct(F.lit(j).alias("cid"), _plane_dot(F.col(emb_col), c).alias("d"))
+            for j, c in enumerate(cents)
+        ]
+    )
+    ranked = (
+        df.select(F.col(id_col), F.col(emb_col), F.explode(dots).alias("_cd"))
+        .select(id_col, emb_col, F.col("_cd.cid").alias("cid"), F.col("_cd.d").alias("d"))
+        .withColumn(
+            "_cr",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.desc("d"), F.asc("cid"))
+            ),
+        )
+    )
+    wl = Window.partitionBy("cid").orderBy(id_col)
+    nbr = (
+        ranked.filter(F.col("_cr") == 1)
+        .withColumn("_lr", F.row_number().over(wl))
+        .filter(F.col("_lr") <= list_cap)
+        .select(F.col(id_col).alias("nid"), F.col(emb_col).alias("ne"), "cid")
+    )
+    q = ranked.filter(F.col("_cr") <= nprobe).select(
+        F.col(id_col).alias("qid"), F.col(emb_col).alias("qe"), "cid"
+    )
+    # a neighbor sits in exactly one list, so each (qid, nid) pair
+    # arises from at most one probed list — no dedup shuffle
+    scored = (
+        q.join(nbr, "cid")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("sim", cosine_sim_col(F.col("qe"), F.col("ne")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", F.col("nid").alias("neighbor_id"), F.round("sim", 4).alias("cos_sim"), "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle generators (same planes, same fold order)
 # ---------------------------------------------------------------------------
@@ -239,6 +310,58 @@ def hyperplane_lsh_topk_oracle_sql(
         )
         SELECT qid, nid AS neighbor_id, round(sim, 4) AS cos_sim, rnk
         FROM ranked WHERE rnk <= {k}"""
+
+
+def ivf_topk_oracle_sql(
+    dim: int = EMBEDDING_DIM,
+    n_centroids: int = 16,
+    nprobe: int = 5,
+    k: int = 3,
+    list_cap: int = 256,
+    seed: int = 7,
+) -> str:
+    cents = ivf_centroids(n_centroids, dim, seed)
+    cd_structs = ",\n                   ".join(
+        f"{{'cid': {j}, 'd': {_plane_dot_sql('embedding', c)}}}"
+        for j, c in enumerate(cents)
+    )
+    cos = _COS_SQL.format(a="q.qe", b="n.ne")
+    return f"""
+        WITH cd AS (
+            SELECT vec_id, embedding,
+                   unnest([{cd_structs}], recursive := true)
+            FROM embeddings
+        ),
+        ranked AS (
+            SELECT vec_id, embedding, cid, d,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d DESC, cid ASC) AS cr
+            FROM cd
+        ),
+        nbr AS (
+            SELECT vec_id AS nid, embedding AS ne, cid
+            FROM (SELECT *, row_number() OVER (PARTITION BY cid
+                                               ORDER BY vec_id) AS lr
+                  FROM ranked WHERE cr = 1)
+            WHERE lr <= {list_cap}
+        ),
+        q AS (
+            SELECT vec_id AS qid, embedding AS qe, cid
+            FROM ranked WHERE cr <= {nprobe}
+        ),
+        scored AS (
+            SELECT q.qid, n.nid, {cos} AS sim
+            FROM q JOIN nbr n USING (cid)
+            WHERE q.qid != n.nid
+        ),
+        topk AS (
+            SELECT qid, nid, sim,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, nid ASC) AS rnk
+            FROM scored
+        )
+        SELECT qid, nid AS neighbor_id, round(sim, 4) AS cos_sim, rnk
+        FROM topk WHERE rnk <= {k}"""
 
 
 def lsh_blocked_near_dup_oracle_sql(

@@ -45,6 +45,52 @@ def streaming_exact_dedup(pages: DataFrame, watermark: str = "1 hour") -> DataFr
     )
 
 
+def streaming_exact_collapse_state(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): streaming
+    exact-collapse that maintains, per normalized-text sha, the running
+    frequency AND the current merge-rule representative (earliest
+    warc_ts, tie-min url) — the stream form of stage 2 that
+    ``dropDuplicatesWithinWatermark`` cannot express (it emits a key
+    once and can never update its count or representative).
+
+    Emits one updated (text_sha, rep_url, rep_ts, freq) row per key per
+    micro-batch touching it; state is explicit and per-key, the
+    operator shuffles only on the state key — the standard scalable
+    shape for custom streaming state.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    norm = pages.withColumn("text_norm", normalize_text_col("text")).withColumn(
+        "text_sha", text_sha_col("text_norm")
+    )
+
+    out_schema = "text_sha string, rep_url string, rep_ts timestamp, freq long"
+    state_schema = "rep_url string, rep_ts timestamp, freq long"
+
+    def update(key, pdfs, state: GroupState):
+        (text_sha,) = key
+        rep_url, rep_ts, freq = state.get if state.exists else (None, None, 0)
+        for pdf in pdfs:
+            freq += len(pdf)
+            # vectorized batch minimum, then compare with carried state
+            best = pdf.sort_values(["warc_ts", "url"]).iloc[0]
+            if rep_ts is None or (best["warc_ts"], best["url"]) < (rep_ts, rep_url):
+                rep_url, rep_ts = best["url"], best["warc_ts"]
+        state.update((rep_url, rep_ts, freq))
+        yield pd.DataFrame(
+            {"text_sha": [text_sha], "rep_url": [rep_url], "rep_ts": [rep_ts], "freq": [freq]}
+        )
+
+    return (
+        norm.withWatermark("warc_ts", watermark)
+        .groupBy("text_sha")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def streaming_page_stats(pages: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Tumbling-window per-lang ingest stats with late-data handling —
     the streaming analog of the batch metrics table (SURVEY §2 A6)."""
