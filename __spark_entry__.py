@@ -497,6 +497,36 @@ def q_embedding_lsh_ann(spark, sf_dir):
     return hyperplane_lsh_topk(e, "vec_id", "embedding")
 
 
+def q_substring_overlap_pairs(spark, sf_dir):
+    """SURVEY §7.1 stage 8 family: long-verbatim-overlap pairs via
+    content-defined window fingerprints, sql-reproducible form — anchor
+    positions are token positions whose hash % stride == 0, window
+    fingerprint = hash of the 16-token span, pairs share >= 2 windows.
+    Runs the REAL window_overlap_pairs operator; the numpy-mode twin
+    (64-token windows, prefix-sum hashes) is recall-tested in tests/."""
+    from umi_collapse_rs_spark.functions.sqlfp import hash60_col
+    from umi_collapse_rs_spark.operators.candidates import window_overlap_pairs
+
+    W, S, min_shared = 16, 4, 2
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    anchors = F.filter(
+        F.sequence(F.lit(1), F.greatest(n - W + 1, F.lit(1))),
+        lambda i: hash60_col(F.element_at(toks, i)) % S == 0,
+    )
+    wins = F.when(n < W, F.array().cast("array<long>")).otherwise(
+        F.array_distinct(
+            F.transform(anchors, lambda i: hash60_col(F.array_join(F.slice(toks, i, W), " ")))
+        )
+    )
+    docs = d.select("doc_id", wins.alias("win_hashes")).localCheckpoint(eager=False)
+    return window_overlap_pairs(
+        docs, min_shared, cap=33, chain_width=4, id_col="doc_id"
+    ).select("src", "dst")
+
+
 def q_embedding_ivf_ann(spark, sf_dir):
     """Similarity search, IVF variant: deterministic unit-norm coarse
     quantizer, nprobe=3 inverted-list probing, capped lists, exact
@@ -550,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs": q_near_dup_pairs,
         "embedding_lsh_ann": q_embedding_lsh_ann,
         "embedding_ivf_ann": q_embedding_ivf_ann,
+        "substring_overlap_pairs": q_substring_overlap_pairs,
     }
 
 
@@ -567,6 +598,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_cc": oracles.dedup_clusters_oracle_sql("cc"),
         "dedup_clusters_adj": oracles.dedup_clusters_oracle_sql("adj"),
         "near_dup_pairs": oracles.near_dup_pairs_oracle_sql(),
+        "substring_overlap_pairs": oracles.substring_overlap_oracle_sql(),
         "exact_collapse": """
             SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_sha,
                    count(*) AS freq,

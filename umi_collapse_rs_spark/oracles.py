@@ -262,6 +262,34 @@ def _adj_oracle_sql() -> str:
     )
 
 
+def substring_overlap_oracle_sql(window: int = 16, stride: int = 4, min_shared: int = 2) -> str:
+    """Content-defined window-overlap pairs over raw documents
+    (__spark_entry__.q_substring_overlap_pairs): anchor = token position
+    whose hash60 % stride == 0; window fingerprint = hash60 of the
+    joined window tokens; pair emitted when >= min_shared distinct
+    window fingerprints are shared."""
+    from umi_collapse_rs_spark.functions.sqlfp import hash60_sql
+
+    h_tok = hash60_sql("toks[i]")
+    h_win = hash60_sql(f"array_to_string(toks[i:i+{window}-1], ' ')")
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, toks, unnest(range(1, len(toks) - {window} + 2)) AS i
+            FROM t WHERE len(toks) >= {window}
+        ),
+        anch AS (SELECT doc_id, toks, i FROM pos WHERE ({h_tok} % {stride}) = 0),
+        w AS (SELECT DISTINCT doc_id, {h_win} AS wh FROM anch)
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM w a JOIN w b ON a.wh = b.wh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_shared}"""
+
+
 def merge_rule_oracle_sql(merge: str) -> str:
     """Exact-collapse representative election under a merge rule, over
     the 2-token-prefix group key (__spark_entry__._merge_rule_query).
