@@ -411,12 +411,13 @@ def q_simhash_fingerprints(spark, sf_dir):
     form (sha256 shingle hashes, pure Column expressions).  The numpy
     pandas-UDF twin computes the same family (unit vectors + recall in
     tests/test_fingerprint_core.py)."""
-    from umi_collapse_rs_spark.functions.sqlfp import hash60_col, shingles_col, simhash_col
+    from umi_collapse_rs_spark.functions.sqlfp import with_sql_fingerprints
 
     d = _t(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
-    hashes = F.transform(shingles_col(norm, 3), hash60_col)
-    return d.select("doc_id", simhash_col(hashes).alias("simhash"))
+    return with_sql_fingerprints(
+        d.select("doc_id", norm.alias("text_norm")), "text_norm", 3, 16, id_col="doc_id"
+    ).select("doc_id", "simhash")
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -431,7 +432,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     fp = (
         with_sql_fingerprints(
-            d.select("doc_id", norm.alias("text_norm")), "text_norm", 3, 16
+            d.select("doc_id", norm.alias("text_norm")), "text_norm", 3, 16, id_col="doc_id"
         )
         .select("doc_id", "simhash", "mh_bands")
         # cut the plan: the sha-expression fingerprints feed BOTH sides
