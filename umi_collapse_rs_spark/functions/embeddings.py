@@ -3,14 +3,22 @@ ANN, and LSH-blocked near-dup pairs (training-data pipeline ops; no
 reference analog — the reference's neighbor search is Hamming over
 UMIs, J1/J2).
 
-All math is Column expressions (zip_with/transform/aggregate) — no
-Python in the row path and no driver-side actions in the query
-builders (the embedding dimension is a parameter, never inferred via
-``first()``).  The hyperplane matrix is deterministic from the seed,
-so the DuckDB oracle generators below embed the SAME plane constants
-as SQL literals — both engines then compute identical doubles (the
-dot products fold left-to-right in both, the pattern proven
-cross-engine by the cosine_topk oracle).
+All math is Column expressions — no Python in the row path and no
+driver-side actions in the query builders (the embedding dimension is
+a parameter, never inferred via ``first()``).  The hyperplane matrix
+is deterministic from the seed, so the DuckDB oracle generators below
+embed the SAME plane constants as SQL literals — both engines then
+compute identical doubles (the dot products fold left-to-right in
+both, the pattern proven cross-engine by the cosine_topk oracle).
+
+The per-pair cosine is the one expression whose eval count is
+O(candidates), not O(rows), so the candidate joins carry each
+vector's L2 norm as a column computed ONCE per row instead of
+re-deriving both norms per pair (same doubles — sqrt of the same
+fold — so the oracles are unchanged); per pair only the dot fold
+remains, ~3x less array work.  The fold itself stays
+``aggregate(zip_with(...))``: see :func:`dot_col` for why the
+unrolled-sum "optimization" is an anti-optimization here.
 
 Scale shape of the ANN path (VERDICT r1 called the old 8-plane
 version out):
@@ -39,25 +47,84 @@ def lsh_planes(n_planes: int, dim: int, seed: int) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
 
 
-def cosine_sim_col(a, b):
-    """Cosine similarity of two array<float> columns, in double."""
-    dot = F.aggregate(
+def dot_col(a, b, dim: int = EMBEDDING_DIM):
+    """Dot product of two array<float> columns as a left-to-right fold
+    seeded with 0.0 — the same doubles as DuckDB's
+    ``list_sum(list_transform(list_zip(a, b), ...))``.
+
+    Kept as ``aggregate(zip_with(...))`` on purpose: an unrolled
+    ``a[0]*b[0] + a[1]*b[1] + ...`` sum IS whole-stage-codegen'd, but
+    the generated method for 64 terms exceeds HotSpot's huge-method
+    JIT limit, so it runs as interpreted BYTECODE — measured 2x SLOWER
+    than this interpreted-expression fold (40 s vs 19 s on the sf0.1
+    IVF query), whose small eval methods the JVM does JIT."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    def nrm(c):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(c, lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+
+
+def norm_col(a, dim: int = EMBEDDING_DIM):
+    """L2 norm of an array<float> column (same fold order as DuckDB's
+    ``sqrt(list_sum(list_transform(a, v -> v*v)))``)."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-    return dot / (nrm(a) * nrm(b))
+    )
+
+
+def cosine_sim_col(a, b, dim: int = EMBEDDING_DIM):
+    """Cosine similarity of two array<float> columns, in double."""
+    return dot_col(a, b, dim) / (norm_col(a, dim) * norm_col(b, dim))
+
+
+def _shuffle_partitions(df: DataFrame) -> int:
+    """Session shuffle-partition setting (driver-side conf read, not an
+    action)."""
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # noqa: BLE001
+        return 32
+
+
+def _salt_count(n_keys: int, spark_p: int) -> int:
+    """How many salts the candidate join needs: the probe joins below
+    are tiny in BYTES but huge in compute (each matched row expands
+    into up to cap candidates, each scored), so AQE's byte-based
+    coalescing would collapse them to ONE task — and with few distinct
+    join keys (e.g. 16 IVF lists) even an uncoalesced hash join tops
+    out at n_keys-way parallelism.  Both operators therefore pin the
+    partition count with an explicit keyed repartition (AQE never
+    coalesces a user-specified count) and widen the key space with a
+    salt when the key cardinality is below ~2 partitions' worth.  At
+    real scale (centroids ~ sqrt(n) >> partitions) this returns 1 —
+    zero overhead exactly when the key space is already wide enough.
+    Measured on the sf0.1 IVF query: 12.2 s -> 3.9 s warm (on top of
+    the carried-norm fix's 19.5 s -> 12.2 s)."""
+    return max(1, (2 * spark_p) // max(n_keys, 1))
+
+
+def _spread_input(df: DataFrame, spark_p: int, id_col: str) -> DataFrame:
+    """Widen a narrow input before the per-row signature/centroid
+    projection (a single-file local scan arrives as 1-2 partitions and
+    would serialize the O(n * n_planes) dot work).  Skipped when the
+    input is already wide — at table scale this must NOT reshuffle the
+    corpus.  getNumPartitions is plan metadata, not a job."""
+    if df.rdd.getNumPartitions() >= spark_p:
+        return df
+    return df.repartition(spark_p, id_col)
 
 
 def _plane_dot(emb, plane: np.ndarray):
+    # Deliberately the aggregate() form, NOT the unrolled sum: plane
+    # dots are evaluated n_planes times per ROW (cheap), and unrolling
+    # all of them into one projection (16 planes x 64 terms) overflows
+    # the JVM's 64 KB codegen method limit, knocking the whole stage
+    # back to interpreted eval.
     return F.aggregate(
         F.zip_with(
             emb,
@@ -102,27 +169,37 @@ def hyperplane_lsh_topk(
     dedup shuffle is needed.
     """
     planes = lsh_planes(n_planes, dim, seed)
-    sig = df.select(
+    spark_p = _shuffle_partitions(df)
+    sig = _spread_input(df, spark_p, id_col).select(
         F.col(id_col), F.col(emb_col),
         hyperplane_signature_col(F.col(emb_col), planes).alias("bucket"),
+        norm_col(F.col(emb_col), dim).alias("_nrm"),
     )
     wb = Window.partitionBy("bucket").orderBy(id_col)
     nbr = (
         sig.withColumn("_r", F.row_number().over(wb))
         .filter(F.col("_r") <= bucket_cap)
-        .select(F.col(id_col).alias("nid"), F.col(emb_col).alias("ne"), "bucket")
+        .select(
+            F.col(id_col).alias("nid"), F.col(emb_col).alias("ne"),
+            F.col("_nrm").alias("nn"), "bucket",
+        )
     )
     probes = F.array(
         F.col("bucket"),
         *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
     )
+    # explicit count pins the scoring stage at spark_p tasks (see
+    # _salt_count; bucket space is 2^n_planes — wide enough unsalted)
     q = sig.select(
         F.col(id_col).alias("qid"),
         F.col(emb_col).alias("qe"),
+        F.col("_nrm").alias("nq"),
         F.explode(probes).alias("bucket"),
-    )
+    ).repartition(spark_p, "bucket")
     cand = q.join(nbr, "bucket").filter(F.col("qid") != F.col("nid"))
-    scored = cand.withColumn("sim", cosine_sim_col(F.col("qe"), F.col("ne")))
+    scored = cand.withColumn(
+        "sim", dot_col(F.col("qe"), F.col("ne"), dim) / (F.col("nq") * F.col("nn"))
+    )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -146,9 +223,11 @@ def lsh_blocked_near_dup_pairs(
     plan).  The blocking is part of the operator's contract; the
     DuckDB oracle applies the identical predicate."""
     planes = lsh_planes(n_planes, dim, seed)
-    sig = df.select(
+    spark_p = _shuffle_partitions(df)
+    sig = _spread_input(df, spark_p, id_col).select(
         F.col(id_col), F.col(emb_col),
         hyperplane_signature_col(F.col(emb_col), planes).alias("bucket"),
+        norm_col(F.col(emb_col), dim).alias("_nrm"),
     )
     probes = F.array(
         F.col("bucket"),
@@ -156,15 +235,20 @@ def lsh_blocked_near_dup_pairs(
     )
     a = sig.select(
         F.col(id_col).alias("src"), F.col(emb_col).alias("ea"),
-        F.explode(probes).alias("bucket"),
+        F.col("_nrm").alias("na"), F.explode(probes).alias("bucket"),
+    ).repartition(spark_p, "bucket")
+    b = sig.select(
+        F.col(id_col).alias("dst"), F.col(emb_col).alias("eb"),
+        F.col("_nrm").alias("nb"), "bucket",
     )
-    b = sig.select(F.col(id_col).alias("dst"), F.col(emb_col).alias("eb"), "bucket")
     # each unordered Hamming<=1 pair is generated in both orientations
     # (XOR is symmetric); src < dst keeps exactly one
     return (
         a.join(b, "bucket")
         .filter(F.col("src") < F.col("dst"))
-        .withColumn("sim", cosine_sim_col(F.col("ea"), F.col("eb")))
+        .withColumn(
+            "sim", dot_col(F.col("ea"), F.col("eb"), dim) / (F.col("na") * F.col("nb"))
+        )
         .filter(F.col("sim") >= threshold)
         .select("src", "dst", F.round("sim", 4).alias("cos_sim"))
     )
@@ -206,9 +290,17 @@ def ivf_topk(
             for j, c in enumerate(cents)
         ]
     )
+    spark_p = _shuffle_partitions(df)
     ranked = (
-        df.select(F.col(id_col), F.col(emb_col), F.explode(dots).alias("_cd"))
-        .select(id_col, emb_col, F.col("_cd.cid").alias("cid"), F.col("_cd.d").alias("d"))
+        _spread_input(df, spark_p, id_col).select(
+            F.col(id_col), F.col(emb_col),
+            norm_col(F.col(emb_col), dim).alias("_nrm"),
+            F.explode(dots).alias("_cd"),
+        )
+        .select(
+            id_col, emb_col, "_nrm",
+            F.col("_cd.cid").alias("cid"), F.col("_cd.d").alias("d"),
+        )
         .withColumn(
             "_cr",
             F.row_number().over(
@@ -217,21 +309,31 @@ def ivf_topk(
         )
     )
     wl = Window.partitionBy("cid").orderBy(id_col)
+    n_salt = _salt_count(n_centroids, spark_p)
     nbr = (
         ranked.filter(F.col("_cr") == 1)
         .withColumn("_lr", F.row_number().over(wl))
         .filter(F.col("_lr") <= list_cap)
-        .select(F.col(id_col).alias("nid"), F.col(emb_col).alias("ne"), "cid")
+        .select(
+            F.col(id_col).alias("nid"), F.col(emb_col).alias("ne"),
+            F.col("_nrm").alias("nn"), "cid",
+            F.pmod(F.xxhash64(id_col), F.lit(n_salt)).cast("int").alias("_salt"),
+        )
     )
+    # each query row replicates across every salt so it meets the whole
+    # list; a neighbor carries ONE salt, so each (qid, nid) pair still
+    # arises exactly once — the salt only widens the join's key space
     q = ranked.filter(F.col("_cr") <= nprobe).select(
-        F.col(id_col).alias("qid"), F.col(emb_col).alias("qe"), "cid"
-    )
-    # a neighbor sits in exactly one list, so each (qid, nid) pair
-    # arises from at most one probed list — no dedup shuffle
+        F.col(id_col).alias("qid"), F.col(emb_col).alias("qe"),
+        F.col("_nrm").alias("nq"), "cid",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt"),
+    ).repartition(spark_p, "cid", "_salt")
     scored = (
-        q.join(nbr, "cid")
+        q.join(nbr, ["cid", "_salt"])
         .filter(F.col("qid") != F.col("nid"))
-        .withColumn("sim", cosine_sim_col(F.col("qe"), F.col("ne")))
+        .withColumn(
+            "sim", dot_col(F.col("qe"), F.col("ne"), dim) / (F.col("nq") * F.col("nn"))
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
