@@ -143,6 +143,42 @@ def test_embedding_ann_plan_no_cartesian_no_driver_action(spark):
     assert "row_number" in _plan(ann)
 
 
+def test_ann_scoring_parallelism_is_pinned(spark):
+    """The ANN candidate joins are tiny in bytes but heavy in compute
+    (each matched row expands into up to cap scored candidates), so AQE's
+    byte-based coalescing once collapsed the scoring stage to ONE task
+    (measured 31 idle cores on the sf0.1 IVF query).  The operators now
+    pin the stage with an explicit keyed repartition; REPARTITION_BY_NUM
+    in the plan is the marker AQE is forbidden to coalesce, so its
+    presence IS the guarantee."""
+    from umi_collapse_rs_spark.functions.embeddings import (
+        hyperplane_lsh_topk,
+        ivf_topk,
+        lsh_blocked_near_dup_pairs,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sc = spark.sparkContext
+    sc.setJobGroup("ann_pin_probe", "ivf build must be lazy")
+    ivf = ivf_topk(e, "vec_id", "embedding")
+    assert sc.statusTracker().getJobIdsForGroup("ann_pin_probe") == []
+    sc.setJobGroup("", "")
+    for df in (
+        ivf,
+        hyperplane_lsh_topk(e, "vec_id", "embedding"),
+        lsh_blocked_near_dup_pairs(e, "vec_id", "embedding", threshold=0.35),
+    ):
+        plan = _plan(df)
+        assert "REPARTITION_BY_NUM" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    # with 16 centroids < 2 x shuffle partitions the IVF join is salted:
+    # both join keys appear in the exchange so one hot list cannot
+    # serialize the scoring stage
+    ivf_plan = _plan(ivf)
+    assert "_salt" in ivf_plan
+
+
 def test_semi_join_goes_broadcast_when_small(spark):
     sf = "/root/testdata/sf0.001"
     big = spark.read.parquet(f"{sf}/lineitem.parquet")
