@@ -528,6 +528,17 @@ def q_substring_overlap_pairs(spark, sf_dir):
     ).select("src", "dst")
 
 
+def q_embedding_multitable_ann(spark, sf_dir):
+    """Similarity search, multi-table variant: 16 independent 6-plane
+    hyperplane-LSH tables, per-(table, bucket) neighbor caps, pair dedup
+    before the exact-cosine re-rank — the recall-robust bounded-candidate
+    config (BENCH/ANN.md; functions/embeddings.multitable_lsh_topk)."""
+    from umi_collapse_rs_spark.functions.embeddings import multitable_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    return multitable_lsh_topk(e, "vec_id", "embedding")
+
+
 def q_embedding_ivf_ann(spark, sf_dir):
     """Similarity search, IVF variant: deterministic unit-norm coarse
     quantizer, nprobe=3 inverted-list probing, capped lists, exact
@@ -580,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_adj": q_dedup_clusters_adj,
         "near_dup_pairs": q_near_dup_pairs,
         "embedding_lsh_ann": q_embedding_lsh_ann,
+        "embedding_multitable_ann": q_embedding_multitable_ann,
         "embedding_ivf_ann": q_embedding_ivf_ann,
         "substring_overlap_pairs": q_substring_overlap_pairs,
     }
@@ -766,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dup_pairs": _embeddings.lsh_blocked_near_dup_oracle_sql(0.35),
         "embedding_lsh_ann": _embeddings.hyperplane_lsh_topk_oracle_sql(),
+        "embedding_multitable_ann": _embeddings.multitable_lsh_topk_oracle_sql(),
         "embedding_ivf_ann": _embeddings.ivf_topk_oracle_sql(),
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),

@@ -89,6 +89,7 @@ def main() -> int:
         "simhash_fingerprints",
         "cosine_topk",
         "embedding_lsh_ann",
+        "embedding_multitable_ann",
         "embedding_ivf_ann",
         "event_window_agg",
         "window_rank",

@@ -155,6 +155,7 @@ def test_ann_scoring_parallelism_is_pinned(spark):
         hyperplane_lsh_topk,
         ivf_topk,
         lsh_blocked_near_dup_pairs,
+        multitable_lsh_topk,
     )
 
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
@@ -167,6 +168,7 @@ def test_ann_scoring_parallelism_is_pinned(spark):
         ivf,
         hyperplane_lsh_topk(e, "vec_id", "embedding"),
         lsh_blocked_near_dup_pairs(e, "vec_id", "embedding", threshold=0.35),
+        multitable_lsh_topk(e, "vec_id", "embedding", n_tables=4),
     ):
         plan = _plan(df)
         assert "REPARTITION_BY_NUM" in plan

@@ -32,6 +32,7 @@ def main() -> int:
         _COS_SQL,
         hyperplane_lsh_topk_oracle_sql,
         ivf_topk_oracle_sql,
+        multitable_lsh_topk_oracle_sql,
     )
 
     con = duckdb.connect()
@@ -52,6 +53,7 @@ def main() -> int:
     results = {}
     for name, sql in (
         ("hyperplane_lsh_multiprobe", hyperplane_lsh_topk_oracle_sql(k=k)),
+        ("multitable_lsh", multitable_lsh_topk_oracle_sql(k=k)),
         ("ivf_nprobe5", ivf_topk_oracle_sql(k=k)),
     ):
         approx = _topk_sets(con.sql(sql).df(), k)
@@ -70,6 +72,7 @@ def main() -> int:
         "| path | recall@{k} | candidate bound per query |".format(k=k),
         "|---|---|---|",
         f"| hyperplane LSH, 16 planes, Hamming-1 multiprobe, bucket cap 64 | {results['hyperplane_lsh_multiprobe']:.3f} | 17 probes x 64 |",
+        f"| multi-table LSH, 16 tables x 6 planes, bucket cap 64 | {results['multitable_lsh']:.3f} | 16 tables x 64 |",
         f"| IVF, 16 lists, nprobe=5, list cap 256 | {results['ivf_nprobe5']:.3f} | 5 probes x 256 |",
         "| brute force (`cosine_topk`) | 1.000 | n |",
         "",
@@ -87,16 +90,19 @@ def main() -> int:
         "| LSH 4 planes + H1 probe | 0.474 | ~n/16 x 5 (unbounded fraction) |",
         "| LSH 8 planes + H1 probe | 0.098 | ~n/256 x 9 |",
         "| LSH 16 planes + H1 probe | 0.004 | ~n/65k x 17 (default, finest) |",
-        "| LSH multi-table L=16 b=6 | 0.585 | ~23% of corpus (unbounded) |",
+        "| LSH multi-table L=16 b=6, uncapped | 0.585 | ~23% of corpus (unbounded) |",
         "| IVF 16 lists nprobe=3 | 0.372 | 3 x 256 |",
         "| IVF 16 lists nprobe=5 | 0.523 | 5 x 256 (default) |",
         "| IVF 16 lists nprobe=8 | 0.725 | 8 x 256 |",
         "",
-        "Both shipped defaults keep the candidate join bounded per query",
-        "regardless of bucket/list skew — the 100 TB property being",
-        "purchased; recall is bought back by raising nprobe/probe radius",
-        "(parameters, not code).  On real embedding corpora (clustered,",
-        "near-dup sims >= 0.9) the same configs sit far up this curve.",
+        "All three shipped configs keep the candidate join bounded per",
+        "query regardless of bucket/list skew — the 100 TB property being",
+        "purchased.  The multi-table operator is the recall-robust default",
+        "on structure-free corpora (capping its buckets costs only",
+        "0.585 -> 0.553 here); recall is bought back further by raising",
+        "n_tables / nprobe / probe radius (parameters, not code).  On real",
+        "embedding corpora (clustered, near-dup sims >= 0.9) every config",
+        "sits far up this curve.",
         "",
         "Reproduce: `python tools/check_ann_recall.py`",
     ]

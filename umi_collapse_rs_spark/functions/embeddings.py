@@ -254,6 +254,106 @@ def lsh_blocked_near_dup_pairs(
     )
 
 
+def multitable_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    dim: int = EMBEDDING_DIM,
+    n_tables: int = 16,
+    n_planes: int = 6,
+    k: int = 3,
+    bucket_cap: int = 64,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors via multi-table hyperplane LSH
+    (the classic L-tables-of-b-planes construction): ``n_tables``
+    independent coarse signatures per vector, candidates = union of
+    same-bucket rows across tables, exact cosine re-rank.
+
+    vs the single-table multiprobe variant (:func:`hyperplane_lsh_topk`):
+    more tables buy recall the way more probes do, but each table is an
+    independent coarse partition, so recall holds even when the corpus
+    has no cluster structure (measured on the near-uniform sandbox
+    vectors: ~0.6 recall@3 where 16-plane single-table measures 0.004 —
+    BENCH/ANN.md).  Candidates stay bounded at
+    ``n_tables * bucket_cap`` per query regardless of skew: each
+    (table, bucket) neighbor list is capped by deterministic id rank.
+
+    A pair can collide in several tables, so candidates are deduped on
+    (qid, nid) BEFORE the cosine — and the candidate/dedup exchanges
+    carry IDS ONLY (the bucket explode drops the embedding after the
+    plane dots), with the embeddings joined back once per side of each
+    DISTINCT pair.  Arrays therefore move O(n + distinct pairs), never
+    O(colliding candidates) — the shape that survives n_tables-way
+    explode at corpus scale (A/B at sf0.1, warm local[24]: 33.1 s
+    carrying arrays through the dedup vs 9.2 s ids-only).  The
+    remaining cost is intrinsic to the structure-free bench vectors:
+    ~23% of all pairs collide in some table (~0.94M distinct pairs at
+    2k vectors), and each distinct pair is cosine-scored once.
+    """
+    planes = lsh_planes(n_tables * n_planes, dim, seed)
+    spark_p = _shuffle_partitions(df)
+    tb = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                hyperplane_signature_col(
+                    F.col(emb_col), planes[t * n_planes : (t + 1) * n_planes]
+                ).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    base = _spread_input(df, spark_p, id_col)
+    # (id, t, bkt) is ~24 B/row x n_tables; materializing it once means
+    # the 96-fold signature projection runs ONE pass over the corpus
+    # instead of once per join branch (query side + capped neighbor side)
+    sig = (
+        base.select(F.col(id_col), F.explode(tb).alias("_tb"))
+        .select(id_col, F.col("_tb.t").alias("t"), F.col("_tb.bkt").alias("bkt"))
+        .localCheckpoint(eager=False)
+    )
+    wb = Window.partitionBy("t", "bkt").orderBy(id_col)
+    nbr = (
+        sig.withColumn("_r", F.row_number().over(wb))
+        .filter(F.col("_r") <= bucket_cap)
+        .select(F.col(id_col).alias("nid"), "t", "bkt")
+    )
+    # key space = n_tables * 2^n_planes (1024 at the defaults) — wide
+    # enough unsalted; explicit counts pin the stages (see _salt_count)
+    q = sig.select(F.col(id_col).alias("qid"), "t", "bkt").repartition(
+        spark_p, "t", "bkt"
+    )
+    pairs = (
+        q.join(nbr, ["t", "bkt"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+        .repartition(spark_p, "qid")
+    )
+    qe = base.select(
+        F.col(id_col).alias("qid"), F.col(emb_col).alias("qe"),
+        norm_col(F.col(emb_col), dim).alias("nq"),
+    )
+    ne = base.select(
+        F.col(id_col).alias("nid"), F.col(emb_col).alias("ne"),
+        norm_col(F.col(emb_col), dim).alias("nn"),
+    )
+    scored = (
+        pairs.join(qe, "qid")
+        .join(ne, "nid")
+        .withColumn(
+            "sim", dot_col(F.col("qe"), F.col("ne"), dim) / (F.col("nq") * F.col("nn"))
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", F.col("nid").alias("neighbor_id"), F.round("sim", 4).alias("cos_sim"), "rnk")
+    )
+
+
 def ivf_centroids(n_centroids: int, dim: int, seed: int) -> np.ndarray:
     """Deterministic unit-norm coarse-quantizer centroids for a seed."""
     c = np.random.default_rng(seed).standard_normal((n_centroids, dim))
@@ -403,6 +503,53 @@ def hyperplane_lsh_topk_oracle_sql(
             SELECT q.qid, n.nid, {cos} AS sim
             FROM q JOIN nbr n USING (bucket)
             WHERE q.qid != n.nid
+        ),
+        ranked AS (
+            SELECT qid, nid, sim,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, nid ASC) AS rnk
+            FROM scored
+        )
+        SELECT qid, nid AS neighbor_id, round(sim, 4) AS cos_sim, rnk
+        FROM ranked WHERE rnk <= {k}"""
+
+
+def multitable_lsh_topk_oracle_sql(
+    dim: int = EMBEDDING_DIM,
+    n_tables: int = 16,
+    n_planes: int = 6,
+    k: int = 3,
+    bucket_cap: int = 64,
+    seed: int = 11,
+) -> str:
+    planes = lsh_planes(n_tables * n_planes, dim, seed)
+    tb_structs = ",\n                   ".join(
+        f"{{'t': {t}, 'bkt': {_bucket_sql('embedding', planes[t * n_planes:(t + 1) * n_planes])}}}"
+        for t in range(n_tables)
+    )
+    cos = _COS_SQL.format(a="qe", b="ne")
+    return f"""
+        WITH sig AS (
+            SELECT vec_id, embedding,
+                   unnest([{tb_structs}], recursive := true)
+            FROM embeddings
+        ),
+        nbr AS (
+            SELECT vec_id AS nid, embedding AS ne, t, bkt
+            FROM (SELECT *, row_number() OVER (PARTITION BY t, bkt
+                                               ORDER BY vec_id) AS r
+                  FROM sig)
+            WHERE r <= {bucket_cap}
+        ),
+        uniq AS (
+            SELECT q.vec_id AS qid, n.nid,
+                   any_value(q.embedding) AS qe, any_value(n.ne) AS ne
+            FROM sig q JOIN nbr n USING (t, bkt)
+            WHERE q.vec_id != n.nid
+            GROUP BY q.vec_id, n.nid
+        ),
+        scored AS (
+            SELECT qid, nid, {cos} AS sim FROM uniq
         ),
         ranked AS (
             SELECT qid, nid, sim,
