@@ -321,6 +321,43 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal decode through the REAL mapInPandas operator
+    (functions/multimodal.extract_image_meta, fake decoder): the
+    deterministic pseudo-decode derives width/height from sha256 bytes,
+    so the Arrow-batched Python stage itself is oracle-checked — the
+    DuckDB twin replays the same hex arithmetic."""
+    from umi_collapse_rs_spark.functions.multimodal import extract_image_meta
+
+    d = _t(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return extract_image_meta(blobs, "doc_id", "blob", fake=True).select(
+        "id", "n_bytes", "content_sha", "width", "height"
+    )
+
+
+def q_multimodal_resize(spark, sf_dir):
+    """Distributed image resize (functions/multimodal.resize_images,
+    fake path: resized hash = sha256(hex(sha256(blob)) + ':WxH')) —
+    map-only mapInPandas, one row per input."""
+    from umi_collapse_rs_spark.functions.multimodal import resize_images
+
+    d = _t(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return resize_images(blobs, "doc_id", "blob", target_w=64, target_h=64, fake=True)
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame sampling (functions/multimodal.sample_frames): the
+    cardinality-CHANGING mapInPandas — each blob yields
+    1 + byte2(sha256) % 8 frame rows, hashes replayable in SQL."""
+    from umi_collapse_rs_spark.functions.multimodal import sample_frames
+
+    d = _t(spark, sf_dir, "documents")
+    blobs = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return sample_frames(blobs, "doc_id", "blob", max_frames=8, fake=True)
+
+
 def q_event_window_agg(spark, sf_dir):
     """Streaming analog (batch form): hourly tumbling-window aggregate.
     The same plan runs under Structured Streaming via readStream."""
@@ -581,6 +618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "event_window_agg": q_event_window_agg,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
@@ -767,6 +807,32 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    sha256(text) AS content_sha
             FROM documents
+        """,
+        "multimodal_decode": """
+            SELECT doc_id AS id,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS content_sha,
+                   16 + ('0x' || substr(sha256(text), 1, 2))::INT % 240 AS width,
+                   16 + ('0x' || substr(sha256(text), 3, 2))::INT % 240 AS height
+            FROM documents
+        """,
+        "multimodal_resize": """
+            SELECT doc_id AS id,
+                   64 AS width, 64 AS height,
+                   sha256(sha256(text) || ':64x64') AS resized_sha,
+                   64 * 64 * 3 AS n_bytes_out
+            FROM documents
+        """,
+        "multimodal_frames": """
+            SELECT id, f.frame_idx, f.frame_sha
+            FROM (
+                SELECT doc_id AS id,
+                       unnest(list_transform(
+                           range(1 + ('0x' || substr(sha256(text), 5, 2))::INT % 8),
+                           i -> {'frame_idx': i,
+                                 'frame_sha': sha256(sha256(text) || '#' || i)})) AS f
+                FROM documents
+            )
         """,
         "event_window_agg": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -10,9 +10,15 @@ import pytest
 from pyspark.sql import functions as F
 
 from umi_collapse_rs_spark.functions.multimodal import (
+    FRAME_SCHEMA,
     IMAGE_META_SCHEMA,
+    RESIZED_SCHEMA,
     decode_image,
     extract_image_meta,
+    resize_image,
+    resize_images,
+    sample_frames,
+    sample_video_frames,
 )
 
 
@@ -66,6 +72,53 @@ def test_extract_image_meta_schema_and_values(blobs_df):
         w, h, feat = decode_image(raw, fake=True)
         assert (row.width, row.height) == (w, h)
         assert list(row.feat) == pytest.approx(feat)
+
+
+def test_real_resize_gated_on_pil():
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="fake=True"):
+            resize_image(b"\x89PNG...", 8, 8, fake=False)
+        return
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 12), (0, 255, 0)).save(buf, format="PNG")
+    sha, n = resize_image(buf.getvalue(), 8, 8, fake=False)
+    assert len(sha) == 64 and n > 0
+
+
+def test_resize_images_values(blobs_df):
+    out = resize_images(blobs_df, "id", "blob", target_w=32, target_h=16, fake=True)
+    assert out.schema == RESIZED_SCHEMA
+    pdf = out.toPandas().sort_values("id").reset_index(drop=True)
+    assert len(pdf) == 50
+    src = {r["id"]: bytes(r["blob"]) for r in blobs_df.collect()}
+    for _, row in pdf.iterrows():
+        sha, n = resize_image(src[row.id], 32, 16, fake=True)
+        assert (row.width, row.height) == (32, 16)
+        assert row.resized_sha == sha
+        assert row.n_bytes_out == n == 32 * 16 * 3
+
+
+def test_sample_frames_cardinality_and_values(blobs_df):
+    """The frame op multiplies rows INSIDE the Arrow batch (1..8 per
+    blob) — cardinality, per-frame hashes, and contiguous frame_idx all
+    match a driver-side recomputation."""
+    out = sample_frames(blobs_df, "id", "blob", max_frames=8, fake=True)
+    assert out.schema == FRAME_SCHEMA
+    pdf = out.toPandas()
+    src = {r["id"]: bytes(r["blob"]) for r in blobs_df.collect()}
+    expect = {rid: sample_video_frames(raw, 8, fake=True) for rid, raw in src.items()}
+    assert len(pdf) == sum(len(v) for v in expect.values())
+    for rid, grp in pdf.groupby("id"):
+        grp = grp.sort_values("frame_idx")
+        assert list(grp.frame_idx) == list(range(len(expect[rid])))
+        assert list(grp.frame_sha) == expect[rid]
+    assert pytest.raises(NotImplementedError, sample_video_frames, b"x", 8, False)
 
 
 def test_plan_is_map_only(blobs_df):

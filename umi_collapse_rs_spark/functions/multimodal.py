@@ -63,6 +63,134 @@ def decode_image(data: bytes, fake: bool = False) -> tuple[int, int, list[float]
     return width, height, feat
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized_sha", T.StringType()),
+        T.StructField("n_bytes_out", T.IntegerType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_sha", T.StringType()),
+    ]
+)
+
+
+def resize_image(data: bytes, tw: int, th: int, fake: bool = False) -> tuple[str, int]:
+    """Resize one image blob -> (sha256 of the resized encoding,
+    output byte count).
+
+    ``fake=True`` derives both deterministically from the content hash
+    (``sha256(hex(sha256(blob)) + ':WxH')``) — hex-string arithmetic a
+    SQL oracle can replay.  Otherwise PIL is imported at call time:
+    present -> real resize + PNG re-encode; absent ->
+    NotImplementedError naming the fallback."""
+    if fake:
+        key = hashlib.sha256(data).hexdigest() + f":{tw}x{th}"
+        return hashlib.sha256(key.encode()).hexdigest(), tw * th * 3
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "image resize requires PIL (pip extra); run with fake=True in-sandbox"
+        ) from e
+    import io
+
+    img = Image.open(io.BytesIO(data)).convert("RGB").resize((tw, th))
+    buf = io.BytesIO()
+    img.save(buf, "PNG")
+    out = buf.getvalue()
+    return hashlib.sha256(out).hexdigest(), len(out)
+
+
+def sample_video_frames(data: bytes, max_frames: int, fake: bool = False) -> list[str]:
+    """Sample frames from one video blob -> list of per-frame content
+    hashes (frame i = ``sha256(hex(sha256(blob)) + '#i')``; the fake
+    frame COUNT is ``1 + byte2(sha256(blob)) % max_frames`` so
+    cardinality varies per row).  The real path needs a video decoder
+    (PyAV / OpenCV) — gated exactly like the PIL paths."""
+    if fake:
+        hexd = hashlib.sha256(data).hexdigest()
+        n = 1 + hashlib.sha256(data).digest()[2] % max_frames
+        return [hashlib.sha256(f"{hexd}#{i}".encode()).hexdigest() for i in range(n)]
+    try:
+        import av  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "frame sampling requires PyAV (pip extra); run with fake=True in-sandbox"
+        ) from e
+    raise NotImplementedError("real frame sampling not exercised in this container")
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    target_w: int = 64,
+    target_h: int = 64,
+    fake: bool = True,
+) -> DataFrame:
+    """Distributed image resize: map-only mapInPandas, one output row
+    per input (id, target dims, resized-content hash, output bytes)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            shas, sizes = [], []
+            for blob in pdf["blob"]:
+                sha, n = resize_image(
+                    bytes(blob) if blob is not None else b"", target_w, target_h, fake=fake
+                )
+                shas.append(sha)
+                sizes.append(n)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "width": target_w,
+                    "height": target_h,
+                    "resized_sha": shas,
+                    "n_bytes_out": sizes,
+                }
+            )
+
+    base = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+    return base.mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    blob_col: str,
+    max_frames: int = 8,
+    fake: bool = True,
+) -> DataFrame:
+    """Distributed frame sampling: mapInPandas that CHANGES CARDINALITY
+    — each video blob yields 1..max_frames rows (id, frame_idx,
+    frame_sha).  Still map-only: the explode happens inside the Arrow
+    batch, no shuffle."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, shas = [], [], []
+            for rid, blob in zip(pdf["id"], pdf["blob"]):
+                frames = sample_video_frames(
+                    bytes(blob) if blob is not None else b"", max_frames, fake=fake
+                )
+                for i, sha in enumerate(frames):
+                    ids.append(rid)
+                    idxs.append(i)
+                    shas.append(sha)
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame_sha": shas})
+
+    base = df.select(F.col(id_col).alias("id"), F.col(blob_col).alias("blob"))
+    return base.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
 def extract_image_meta(df: DataFrame, id_col: str, blob_col: str, fake: bool = True) -> DataFrame:
     """Binary blobs -> typed metadata + decoded features, map-only.
 
