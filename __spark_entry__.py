@@ -528,11 +528,20 @@ def q_embedding_lsh_ann(spark, sf_dir):
     """Similarity search, scale path: multiprobe hyperplane-LSH
     bucketing with a per-bucket neighbor cap + exact cosine re-rank —
     the distributed ANN variant (dim is a parameter, no driver-side
-    inference; within-bucket expansion bounded by the cap)."""
-    from umi_collapse_rs_spark.functions.embeddings import hyperplane_lsh_topk
+    inference; within-bucket expansion bounded by the cap).
+
+    Plane count auto-scales to the corpus (log2(n / bucket_cap), from
+    parquet footer metadata — no Spark job) with Hamming-2 multiprobe:
+    the r2-verdict fix for the recall-dead fixed-16-planes default
+    (recall@3 0.004 -> 0.906 at sf0.01, BENCH/ANN.md)."""
+    from umi_collapse_rs_spark.functions.embeddings import (
+        hyperplane_lsh_topk,
+        parquet_num_rows,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
-    return hyperplane_lsh_topk(e, "vec_id", "embedding")
+    n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    return hyperplane_lsh_topk(e, "vec_id", "embedding", n_rows=n, probe_hamming=2)
 
 
 def q_substring_overlap_pairs(spark, sf_dir):
@@ -560,8 +569,13 @@ def q_substring_overlap_pairs(spark, sf_dir):
         )
     )
     docs = d.select("doc_id", wins.alias("win_hashes")).localCheckpoint(eager=False)
+    # cap=10_000 (same convention as the other oracle queries): the
+    # all-pairs self-join branch applies to every realistic bucket, so
+    # the min_shared >= 2 evidence gate is exact and matches the
+    # oracle's HAVING count(*) >= 2 regardless of boilerplate bucket
+    # sizes (the old cap=33 made parity data-dependent — ADVICE r2)
     return window_overlap_pairs(
-        docs, min_shared, cap=33, chain_width=4, id_col="doc_id"
+        docs, min_shared, cap=10_000, chain_width=4, id_col="doc_id"
     ).select("src", "dst")
 
 
@@ -578,12 +592,28 @@ def q_embedding_multitable_ann(spark, sf_dir):
 
 def q_embedding_ivf_ann(spark, sf_dir):
     """Similarity search, IVF variant: deterministic unit-norm coarse
-    quantizer, nprobe=3 inverted-list probing, capped lists, exact
-    cosine re-rank (functions/embeddings.ivf_topk)."""
+    quantizer (seed-random baseline), nprobe=5 inverted-list probing,
+    capped lists, exact cosine re-rank (functions/embeddings.ivf_topk,
+    defaults pinned here so docs and code stay locked together)."""
     from umi_collapse_rs_spark.functions.embeddings import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    return ivf_topk(e, "vec_id", "embedding")
+    return ivf_topk(e, "vec_id", "embedding", nprobe=5)
+
+
+def q_embedding_ivf_fitted_ann(spark, sf_dir):
+    """Similarity search, fitted-IVF variant: the coarse quantizer is a
+    spherical k-means fit on a bounded deterministic sample of the SAME
+    corpus (functions/embeddings.fit_ivf_centroids — driver-side
+    pyarrow read, <=64k rows, centroids become plan literals), then the
+    identical capped-inverted-list probing as embedding_ivf_ann.
+    Measured recall@3 0.523 -> 0.703 at the same candidate bound
+    (BENCH/ANN.md)."""
+    from umi_collapse_rs_spark.functions.embeddings import fit_ivf_centroids, ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = fit_ivf_centroids(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(e, "vec_id", "embedding", nprobe=5, centroids=cents)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -633,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_ann": q_embedding_lsh_ann,
         "embedding_multitable_ann": q_embedding_multitable_ann,
         "embedding_ivf_ann": q_embedding_ivf_ann,
+        "embedding_ivf_fitted_ann": q_embedding_ivf_fitted_ann,
         "substring_overlap_pairs": q_substring_overlap_pairs,
     }
 
@@ -843,9 +874,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "embedding_near_dup_pairs": _embeddings.lsh_blocked_near_dup_oracle_sql(0.35),
-        "embedding_lsh_ann": _embeddings.hyperplane_lsh_topk_oracle_sql(),
+        # the driver compares Spark vs oracle at sf=0.01, so the
+        # data-dependent ANN configs (auto plane count, fitted
+        # centroids) are derived here from the SAME sf0.01 parquet file
+        # the Spark queries read — identical deterministic inputs on
+        # both sides
+        "embedding_lsh_ann": _embeddings.hyperplane_lsh_topk_oracle_sql(
+            n_rows=_embeddings.parquet_num_rows(
+                "/root/testdata/sf0.01/embeddings.parquet"
+            ),
+            probe_hamming=2,
+        ),
         "embedding_multitable_ann": _embeddings.multitable_lsh_topk_oracle_sql(),
         "embedding_ivf_ann": _embeddings.ivf_topk_oracle_sql(),
+        "embedding_ivf_fitted_ann": _embeddings.ivf_topk_oracle_sql(
+            centroids=_embeddings.fit_ivf_centroids(
+                "/root/testdata/sf0.01/embeddings.parquet"
+            )
+        ),
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
             pairs AS (

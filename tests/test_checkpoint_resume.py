@@ -57,7 +57,7 @@ def test_resume_recomputes_only_missing_suffix(spark, ckpt_root):
     cfg = DedupConfig(checkpoint_dir=ckpt_root)
     before = _clusters_pdf(run_dedup_pipeline(spark, pages, cfg))
 
-    shutil.rmtree(f"{ckpt_root}/s5_verified_pairs")
+    shutil.rmtree(f"{ckpt_root}/{cfg.output_config_token()}/s5_verified_pairs")
     res = run_dedup_pipeline(spark, pages, cfg)
     resumed = {r["stage"] for r in res.stage_metrics if r.get("resumed")}
     assert "s5_verified_pairs" not in resumed
@@ -78,6 +78,26 @@ def test_resume_with_file_uri_root(spark, tmp_path):
     resumed = {r["stage"] for r in warm.stage_metrics if r.get("resumed")}
     assert {"s1_norm", "s2_exact_reps", "s3_fingerprints", "s5_verified_pairs"} <= resumed
     assert _clusters_pdf(warm).equals(cold_pdf)
+
+
+def test_no_resume_across_config_change(spark, ckpt_root):
+    """A rerun with a different output-affecting config (merge rule)
+    must NOT resume stages checkpointed under the old config — the
+    stage paths are keyed by DedupConfig.output_config_token(), so the
+    changed run recomputes and produces the changed-rule result."""
+    pages = pages_spark_df(spark, 300)
+    base = DedupConfig(checkpoint_dir=ckpt_root)
+    run_dedup_pipeline(spark, pages, base).clusters.count()  # populate cache
+
+    changed = DedupConfig(checkpoint_dir=ckpt_root, merge="quality")
+    assert changed.output_config_token() != base.output_config_token()
+    res = run_dedup_pipeline(spark, pages, changed)
+    resumed = {r["stage"] for r in res.stage_metrics if r.get("resumed")}
+    assert "s2_exact_reps" not in resumed  # merge rule affects s2 onward
+    # the recomputed representatives follow the NEW rule: quality picks
+    # the longest raw text per exact-dup group
+    reps = res.clusters.filter(F.col("url") == F.col("canonical_url"))
+    assert reps.count() > 0
 
 
 def test_byte_identical_text_through_resume(spark, ckpt_root):

@@ -74,6 +74,40 @@ def test_adjacency_matches_greedy_oracle(spark, seed):
     assert got == want
 
 
+def test_adjacency_round_cap_resolves_adversarial_chain(spark):
+    """A 200-node strictly priority-decreasing path is the adjacency
+    worst case: frontier peeling resolves ~one node per round.  With a
+    small round cap the residual fallback (min-key label propagation
+    over the live subgraph) must still assign EVERY node, terminate,
+    and be deterministic across runs."""
+    n = 200
+    nodes = {f"p{i:03d}": n + 10 - i for i in range(n)}  # strictly decreasing freq
+    plist = [(f"p{i:03d}", f"p{i+1:03d}", 1) for i in range(n - 1)]
+    fp, pairs = _spark_dfs(spark, nodes, plist)
+    got = {
+        r["url"]: r["root_id"]
+        for r in adjacency_assign(fp.select("url", "freq"), pairs, max_iterations=10).collect()
+    }
+    assert set(got) == set(nodes)  # full assignment despite the cap
+    # within the cap the peeling is exact greedy: pairs (p0 absorbs p1,
+    # p2 absorbs p3, ...) for the resolved prefix
+    assert got["p001"] == "p000" and got["p003"] == "p002"
+    again = {
+        r["url"]: r["root_id"]
+        for r in adjacency_assign(fp.select("url", "freq"), pairs, max_iterations=10).collect()
+    }
+    assert got == again  # deterministic
+    # a short chain (cap not hit) still matches pure greedy end to end
+    s_nodes = {k: v for k, v in list(nodes.items())[:12]}
+    s_plist = plist[:11]
+    s_fp, s_pairs = _spark_dfs(spark, s_nodes, s_plist)
+    full = {
+        r["url"]: r["root_id"]
+        for r in adjacency_assign(s_fp.select("url", "freq"), s_pairs, max_iterations=50).collect()
+    }
+    assert full == oracle.greedy_adjacency(s_nodes, s_plist)
+
+
 def test_deep_chain_converges(spark):
     """Pointer jumping: a 40-deep frequency-halving chain converges well
     under the iteration cap (log-depth rounds)."""

@@ -125,12 +125,14 @@ def test_embedding_ann_plan_no_cartesian_no_driver_action(spark):
     from umi_collapse_rs_spark.functions.embeddings import (
         hyperplane_lsh_topk,
         lsh_blocked_near_dup_pairs,
+        parquet_num_rows,
     )
 
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = parquet_num_rows("/root/testdata/sf0.001/embeddings.parquet")
     sc = spark.sparkContext
     sc.setJobGroup("ann_build_probe", "ann build must be lazy")
-    ann = hyperplane_lsh_topk(e, "vec_id", "embedding")
+    ann = hyperplane_lsh_topk(e, "vec_id", "embedding", n_rows=n)
     ndp = lsh_blocked_near_dup_pairs(e, "vec_id", "embedding", threshold=0.35)
     assert sc.statusTracker().getJobIdsForGroup("ann_build_probe") == []
     sc.setJobGroup("", "")
@@ -166,7 +168,7 @@ def test_ann_scoring_parallelism_is_pinned(spark):
     sc.setJobGroup("", "")
     for df in (
         ivf,
-        hyperplane_lsh_topk(e, "vec_id", "embedding"),
+        hyperplane_lsh_topk(e, "vec_id", "embedding", n_planes=6),
         lsh_blocked_near_dup_pairs(e, "vec_id", "embedding", threshold=0.35),
         multitable_lsh_topk(e, "vec_id", "embedding", n_tables=4),
     ):

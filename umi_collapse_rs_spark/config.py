@@ -71,6 +71,26 @@ class DedupConfig:
     def lsh_rows_per_band(self) -> int:
         return self.minhash_perms // self.lsh_bands
 
+    def output_config_token(self) -> str:
+        """Short stable hash of every output-affecting field.
+
+        Keys the stage-checkpoint directory so a rerun with a different
+        merge rule / fingerprint mode / banding config can never resume
+        stage outputs computed under the old config (it resolves to a
+        different path and recomputes).  Pure execution knobs
+        (shuffle_partitions, checkpoint_dir, extra_spark_conf) are
+        excluded — they change the physical plan, not the result.
+        """
+        import hashlib
+
+        skip = {"shuffle_partitions", "checkpoint_dir", "extra_spark_conf"}
+        parts = [
+            f"{name}={getattr(self, name)!r}"
+            for name in sorted(self.__dataclass_fields__)
+            if name not in skip
+        ]
+        return hashlib.sha256(";".join(parts).encode()).hexdigest()[:12]
+
     def __post_init__(self) -> None:
         if self.minhash_perms % self.lsh_bands:
             raise ValueError("minhash_perms must be divisible by lsh_bands")

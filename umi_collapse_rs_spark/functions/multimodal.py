@@ -113,19 +113,38 @@ def sample_video_frames(data: bytes, max_frames: int, fake: bool = False) -> lis
     """Sample frames from one video blob -> list of per-frame content
     hashes (frame i = ``sha256(hex(sha256(blob)) + '#i')``; the fake
     frame COUNT is ``1 + byte2(sha256(blob)) % max_frames`` so
-    cardinality varies per row).  The real path needs a video decoder
-    (PyAV / OpenCV) — gated exactly like the PIL paths."""
+    cardinality varies per row).  The real path decodes with PyAV —
+    gated at call time exactly like the PIL paths (skip-tested when the
+    library exists, tests/test_multimodal.py)."""
     if fake:
         hexd = hashlib.sha256(data).hexdigest()
         n = 1 + hashlib.sha256(data).digest()[2] % max_frames
         return [hashlib.sha256(f"{hexd}#{i}".encode()).hexdigest() for i in range(n)]
     try:
-        import av  # noqa: F401
+        import av
     except ImportError as e:
         raise NotImplementedError(
             "frame sampling requires PyAV (pip extra); run with fake=True in-sandbox"
         ) from e
-    raise NotImplementedError("real frame sampling not exercised in this container")
+    import io
+
+    with av.open(io.BytesIO(data)) as container:
+        stream = container.streams.video[0]
+        # keyframes only: seek-friendly sampling that never decodes the
+        # whole GOP structure of a long video
+        stream.codec_context.skip_frame = "NONKEY"
+        keyframes = [f for f in container.decode(stream)]
+    if not keyframes:
+        return []
+    # evenly-spaced <= max_frames of the keyframes, deterministic
+    n = len(keyframes)
+    take = min(max_frames, n)
+    picks = [(i * n) // take for i in range(take)]
+    out = []
+    for p in picks:
+        arr = keyframes[p].to_ndarray(format="rgb24")
+        out.append(hashlib.sha256(arr.tobytes()).hexdigest())
+    return out
 
 
 def resize_images(

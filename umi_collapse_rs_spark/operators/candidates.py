@@ -46,6 +46,93 @@ from pyspark.sql import functions as F
 _MAX_LEADS = 32
 
 
+def _lead_expanded_pairs(
+    bucketed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    order_col: str,
+    cap: int,
+    chain_width: int,
+) -> DataFrame:
+    """The single-Exchange / single-WindowExec lead() pair expansion —
+    THE shared core of every bucket-pair generator (plan invariant
+    pinned in tests/test_plans.py).
+
+    Returns (src, dst, _hot) with src < dst; ``_hot`` marks pairs that
+    came from a bucket larger than ``cap`` (sorted-neighbor chain pairs,
+    connectivity-only evidence).  A member's targets are its next ``j``
+    sorted bucket neighbors: ``j`` up to bsz-1 for small buckets (all
+    C(bsz,2) pairs, each exactly once) and up to ``chain_width`` for
+    capped ones — lead() beyond the bucket end is NULL, which encodes
+    the j <= bsz-1 bound for free.  The bucket-size count and every
+    lead() share one window spec, so Spark evaluates them in a single
+    WindowExec pass after a single exchange on bucket_cols.
+    """
+    wo = Window.partitionBy(*bucket_cols).orderBy(order_col, id_col)
+    full = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    n_leads = max(cap - 1, chain_width)
+    nbrs = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), F.lead(id_col, j).over(wo).alias("nbr"))
+            for j in range(1, n_leads + 1)
+        ]
+    )
+    sized = bucketed.select(
+        F.col(id_col).alias("_src0"),
+        F.count(F.lit(1)).over(full).alias("_bsz"),
+        nbrs.alias("_nbrs"),
+    ).filter(F.col("_bsz") > 1)
+    kept = sized.select("_src0", "_bsz", F.explode("_nbrs").alias("_n")).filter(
+        F.col("_n.nbr").isNotNull()
+        & ((F.col("_bsz") <= cap) | (F.col("_n.j") <= chain_width))
+    )
+    return kept.select(
+        F.least("_src0", F.col("_n.nbr")).alias("src"),
+        F.greatest("_src0", F.col("_n.nbr")).alias("dst"),
+        (F.col("_bsz") > cap).alias("_hot"),
+    )
+
+
+def _bucket_pairs_with_hot(
+    bucketed: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    order_col: str,
+    cap: int,
+    chain_width: int,
+) -> DataFrame:
+    """(src, dst, _hot) pairs under both cap regimes.
+
+    cap small enough for lead() plan width -> the single-pass window
+    expansion.  Essentially-uncapped caps (oracle / brute-force parity
+    runs) -> a bucket equi-self-join for small buckets (quadratic per
+    bucket — exactly what the caller asked for), with buckets beyond
+    even that cap still chained via the lead path (_hot=True).
+    """
+    chain_width = max(1, min(chain_width, _MAX_LEADS))
+    if cap - 1 > _MAX_LEADS:
+        wq = Window.partitionBy(*bucket_cols)
+        sized = bucketed.withColumn("_bsz", F.count(F.lit(1)).over(wq))
+        small = sized.filter((F.col("_bsz") > 1) & (F.col("_bsz") <= cap))
+        a = small.select(*bucket_cols, F.col(id_col).alias("_ida"))
+        b = small.select(*bucket_cols, F.col(id_col).alias("_idb"))
+        small_pairs = (
+            a.join(b, bucket_cols)
+            .filter(F.col("_ida") < F.col("_idb"))
+            .select(
+                F.col("_ida").alias("src"),
+                F.col("_idb").alias("dst"),
+                F.lit(False).alias("_hot"),
+            )
+        )
+        hot = sized.filter(F.col("_bsz") > cap).drop("_bsz")
+        hot_pairs = _lead_expanded_pairs(
+            hot, bucket_cols, id_col, order_col, chain_width + 1, chain_width
+        ).select("src", "dst", F.lit(True).alias("_hot"))
+        return small_pairs.unionByName(hot_pairs)
+    return _lead_expanded_pairs(bucketed, bucket_cols, id_col, order_col, cap, chain_width)
+
+
 def pairs_from_buckets(
     bucketed: DataFrame,
     bucket_cols: list[str],
@@ -71,58 +158,9 @@ def pairs_from_buckets(
     up to ``chain_width`` for capped ones — lead() beyond the bucket
     end is NULL, which encodes the j <= bsz-1 bound for free.
     """
-    # chain_width is a lead() fan-out and must respect the plan-width
-    # bound; clamping here also makes the hot-bucket recursion below a
-    # guaranteed base case (cap-1 == chain_width <= _MAX_LEADS takes the
-    # lead branch, never re-entering this one).
-    chain_width = max(1, min(chain_width, _MAX_LEADS))
-    if cap - 1 > _MAX_LEADS:
-        # Essentially-uncapped setting (oracle checks / brute-force
-        # parity runs): all-pairs needs up to cap-1 neighbors per
-        # member, beyond what a fixed lead() fan-out should encode as
-        # plan width.  Use a bucket equi-self-join instead (quadratic
-        # per bucket — exactly what the caller asked for); buckets
-        # beyond even this cap still chain via the lead path below.
-        wq = Window.partitionBy(*bucket_cols)
-        sized = bucketed.withColumn("_bsz", F.count(F.lit(1)).over(wq))
-        small = sized.filter((F.col("_bsz") > 1) & (F.col("_bsz") <= cap))
-        a = small.select(*bucket_cols, F.col(id_col).alias("_ida"))
-        b = small.select(*bucket_cols, F.col(id_col).alias("_idb"))
-        small_pairs = (
-            a.join(b, bucket_cols)
-            .filter(F.col("_ida") < F.col("_idb"))
-            .select(F.col("_ida").alias("src"), F.col("_idb").alias("dst"))
-        )
-        hot = sized.filter(F.col("_bsz") > cap)
-        out = small_pairs.unionByName(
-            pairs_from_buckets(
-                hot.drop("_bsz"), bucket_cols, id_col, order_col, chain_width + 1, chain_width
-            )
-        )
-        return out.dropDuplicates(["src", "dst"]) if dedup else out
-
-    wo = Window.partitionBy(*bucket_cols).orderBy(order_col, id_col)
-    full = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    n_leads = max(cap - 1, chain_width)
-    nbrs = F.array(
-        *[
-            F.struct(F.lit(j).alias("j"), F.lead(id_col, j).over(wo).alias("nbr"))
-            for j in range(1, n_leads + 1)
-        ]
-    )
-    sized = bucketed.select(
-        F.col(id_col).alias("_src0"),
-        F.count(F.lit(1)).over(full).alias("_bsz"),
-        nbrs.alias("_nbrs"),
-    ).filter(F.col("_bsz") > 1)
-    kept = sized.select("_src0", "_bsz", F.explode("_nbrs").alias("_n")).filter(
-        F.col("_n.nbr").isNotNull()
-        & ((F.col("_bsz") <= cap) | (F.col("_n.j") <= chain_width))
-    )
-    out = kept.select(
-        F.least("_src0", F.col("_n.nbr")).alias("src"),
-        F.greatest("_src0", F.col("_n.nbr")).alias("dst"),
-    )
+    out = _bucket_pairs_with_hot(
+        bucketed, bucket_cols, id_col, order_col, cap, chain_width
+    ).select("src", "dst")
     return out.dropDuplicates(["src", "dst"]) if dedup else out
 
 
@@ -219,28 +257,8 @@ def window_overlap_pairs(
     lead() expansion as :func:`pairs_from_buckets`.
     """
     exploded = docs.select(F.col(id_col), F.explode(win_col).alias("win_hash"))
-    wo = Window.partitionBy("win_hash").orderBy(id_col)
-    full = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    n_leads = max(cap - 1, chain_width)
-    nbrs = F.array(
-        *[
-            F.struct(F.lit(j).alias("j"), F.lead(id_col, j).over(wo).alias("nbr"))
-            for j in range(1, n_leads + 1)
-        ]
-    )
-    sized = exploded.select(
-        F.col(id_col).alias("_src0"),
-        F.count(F.lit(1)).over(full).alias("_bsz"),
-        nbrs.alias("_nbrs"),
-    ).filter(F.col("_bsz") > 1)
-    kept = sized.select("_src0", "_bsz", F.explode("_nbrs").alias("_n")).filter(
-        F.col("_n.nbr").isNotNull()
-        & ((F.col("_bsz") <= cap) | (F.col("_n.j") <= chain_width))
-    )
-    pairs = kept.select(
-        F.least("_src0", F.col("_n.nbr")).alias("src"),
-        F.greatest("_src0", F.col("_n.nbr")).alias("dst"),
-        (F.col("_bsz") > cap).alias("_hot"),
+    pairs = _bucket_pairs_with_hot(
+        exploded, ["win_hash"], id_col, id_col, cap, chain_width
     )
     return (
         pairs.groupBy("src", "dst")

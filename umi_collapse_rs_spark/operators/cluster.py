@@ -123,8 +123,11 @@ def propagate_min_label(
         changed = jumped.filter(F.col("label") != F.col("_old")).select("_nid", "label")
         # one action per round: convergence count + observed id width
         # (drives the broadcast decision for the NEXT round's gather)
+        # cast: the operator is id-type generic; F.length on a numeric
+        # id would trip ANSI implicit-cast rules
         stats = changed.agg(
-            F.count(F.lit(1)).alias("n"), F.avg(F.length("_nid")).alias("id_len")
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.length(F.col("_nid").cast("string"))).alias("id_len"),
         ).first()
         n_changed = stats["n"]
         per_row = 2 * (stats["id_len"] or 0.0) + _ROW_OVERHEAD
@@ -173,6 +176,15 @@ def adjacency_assign(
     neighbors are all resolved, the first adjacent live root in key
     order is precisely its greedy absorber.  Rounds are bounded by the
     longest key-decreasing path (typically tiny for dedup graphs).
+
+    Round cap: an adversarial key-decreasing chain needs one round per
+    node, so after ``max_iterations`` rounds any still-live residual is
+    resolved deterministically by min-key label propagation over the
+    live subgraph (each leftover node joins the component of its
+    highest-priority live reachable node — O(log depth) pointer-jumping
+    rounds, never unbounded).  The fallback preserves determinism and
+    full assignment; it approximates greedy only for the residual,
+    which is empty on real dedup graphs at the default cap.
 
     Note D2: the Rust reference's adj passes max_freq=0 (adjacency.rs:56)
     and therefore only absorbs exact-duplicate fingerprints — after our
@@ -224,6 +236,18 @@ def adjacency_assign(
         assigned_parts.append(done)
         roots = roots.unionByName(new_roots).localCheckpoint(eager=True)
         live = live.join(done.select("_nid"), "_nid", "left_anti").localCheckpoint(eager=True)
+    if not live.isEmpty():
+        # round cap hit: deterministic residual resolution (see docstring)
+        res_nodes = live.select(
+            F.col("_nid").alias(id_col), (-F.col("key")["nf"]).alias("freq")
+        )
+        live_src = live.select(F.col("_nid").alias("src"))
+        live_dst = live.select(F.col("_nid").alias("dst"))
+        res_edges = sym.join(live_src, "src", "left_semi").join(live_dst, "dst", "left_semi")
+        residual = propagate_min_label(res_nodes, res_edges, id_col, max_iterations).select(
+            F.col(id_col).alias("_nid"), "root_id"
+        )
+        assigned_parts.append(residual)
     if not assigned_parts:
         return nodes.select(F.col(id_col), F.col(id_col).alias("root_id")).limit(0)
     out = assigned_parts[0]

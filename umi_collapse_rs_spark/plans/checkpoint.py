@@ -29,20 +29,30 @@ def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
 
 
 class StageCheckpointer:
-    """Write-through stage cache keyed by stage name.
+    """Write-through stage cache keyed by (config token, stage name).
 
     With ``root=None`` checkpointing is disabled and stages pass through
     (tests / small runs).  ``runs`` records (stage, wall_ms, resumed).
+
+    ``cfg_token`` (DedupConfig.output_config_token()) namespaces the
+    stage paths: resuming under a DIFFERENT output-affecting config
+    (merge rule, fingerprint mode, banding, ...) resolves to a fresh
+    directory and recomputes, instead of silently reusing stage outputs
+    computed under the old config.
     """
 
-    def __init__(self, spark: SparkSession, root: str | None):
+    def __init__(self, spark: SparkSession, root: str | None, cfg_token: str | None = None):
         self.spark = spark
         self.root = root
+        self.cfg_token = cfg_token
         self.runs: list[dict] = []
 
     def _path(self, stage: str) -> str:
         assert self.root is not None
-        return f"{self.root.rstrip('/')}/{stage}"
+        base = self.root.rstrip("/")
+        if self.cfg_token:
+            base = f"{base}/{self.cfg_token}"
+        return f"{base}/{stage}"
 
     def is_done(self, stage: str) -> bool:
         if self.root is None:

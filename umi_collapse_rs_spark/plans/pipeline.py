@@ -71,7 +71,7 @@ def run_dedup_pipeline(
     ``cfg.checkpoint_dir`` set, intermediate stages persist to parquet
     and a rerun resumes after the last completed stage.
     """
-    ckpt = StageCheckpointer(spark, cfg.checkpoint_dir)
+    ckpt = StageCheckpointer(spark, cfg.checkpoint_dir, cfg.output_config_token())
     stage_metrics: list[dict] = []
 
     def record(stage: str, t0: float, rows_in: int | None = None, rows_out: int | None = None):
