@@ -498,6 +498,20 @@ def q_dedup_clusters(spark, sf_dir, algo: str = "dir"):
     return res.clusters
 
 
+def q_dedup_clusters_numpy(spark, sf_dir):
+    """bench.py twin of q_dedup_clusters in PRODUCTION fingerprint mode
+    (numpy pandas-UDF, default DedupConfig) — deliberately NOT in
+    queries(): the pd.util.hash_array shingle hashes have no SQL twin,
+    so its fidelity is covered by the pytest recall/golden suites while
+    the sql-mode twin carries the driver oracle.  Exists so BENCH_r*
+    tracks both identities under mode-tagged keys (r2 verdict item #4)."""
+    from umi_collapse_rs_spark.config import DedupConfig
+    from umi_collapse_rs_spark.plans.pipeline import run_dedup_pipeline
+
+    pages = _docs_as_pages(spark, sf_dir)
+    return run_dedup_pipeline(spark, pages, DedupConfig()).clusters
+
+
 def q_dedup_clusters_cc(spark, sf_dir):
     """Connected-components clustering rule (SURVEY §2 C3 — advertised
     but unimplemented in the reference; native here)."""

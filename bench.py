@@ -58,6 +58,12 @@ def main() -> int:
     spark = get_spark(app_name="bench")
     timings: dict[str, float] = {}
 
+    def timed(key: str, build) -> None:
+        t0 = time.monotonic()
+        # count() materializes the full result without driver collection
+        build().count()
+        timings[key] = round(time.monotonic() - t0, 2)
+
     # --- flagship: full dedup pipeline on the fixture corpus ---
     n_pages = _fixture_pages_for(sf_dir)
     pages_path = _fixture_parquet(n_pages)
@@ -75,30 +81,68 @@ def main() -> int:
     res = run_dedup_pipeline(spark, pages, DedupConfig())
     n_clusters = res.clusters.select("canonical_url").distinct().count()
     dt = time.monotonic() - t0
-    timings["dedup_pipeline_fixture"] = round(dt, 2)
+    timings["dedup_pipeline_fixture[numpy]"] = round(dt, 2)
     pages_per_sec = round(n_pages / dt, 1)
 
-    # --- representative operator queries over the sf-dir tables ---
+    # --- fingerprint-dependent queries: BOTH twins, mode-tagged.
+    # The [sql] twins are the driver-oracle identities (sha256-based
+    # Column-expression fingerprints — documented ~5x dearer than the
+    # production path); the [numpy] twins are the production pandas-UDF
+    # identities bench-compatible with the r1 numbers.  Keys carry the
+    # mode so per-round deltas compare like with like (r2 verdict
+    # item #4: r1->r2 looked regressed only because these queries
+    # silently switched identity).
     qs = entry_mod.queries()
+    from pyspark.sql import functions as F
+
+    from umi_collapse_rs_spark.functions.udfs import make_combined_fingerprint_udf
+    from umi_collapse_rs_spark.operators.candidates import minhash_lsh_pairs
+
+    def _docs_numpy_fp():
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        fp_udf = make_combined_fingerprint_udf(3, 128, 32, 42, window_tokens=0, window_stride=32)
+        return d.select(
+            F.col("doc_id"), F.lit(1).alias("freq"), fp_udf(norm).alias("_fp")
+        ).select(
+            "doc_id",
+            "freq",
+            F.col("_fp.simhash").alias("simhash"),
+            F.col("_fp.mh_bands").alias("mh_bands"),
+            F.col("_fp.mh_sig").alias("mh_sig"),
+        )
+
+    timed("dedup_clusters[sql]", lambda: qs["dedup_clusters"](spark, sf_dir))
+    timed(
+        "dedup_clusters[numpy]",
+        lambda: entry_mod.q_dedup_clusters_numpy(spark, sf_dir),
+    )
+    timed("simhash_fingerprints[sql]", lambda: qs["simhash_fingerprints"](spark, sf_dir))
+    timed("simhash_fingerprints[numpy]", lambda: _docs_numpy_fp().select("doc_id", "simhash"))
+    timed("minhash_lsh_pairs[sql]", lambda: qs["minhash_lsh_pairs"](spark, sf_dir))
+    timed(
+        "minhash_lsh_pairs[numpy]",
+        # production candidate config (cap=8, chain 4), numpy bands
+        lambda: minhash_lsh_pairs(
+            _docs_numpy_fp().localCheckpoint(eager=False), cap=8, chain_width=4, id_col="doc_id"
+        ).dropDuplicates(["src", "dst"]),
+    )
+
+    # --- mode-independent operator queries over the sf-dir tables ---
     for name in [
-        "dedup_clusters",
         "exact_collapse",
         "ngram_jaccard",
         "hamming_self_join",
-        "minhash_lsh_pairs",
-        "simhash_fingerprints",
         "cosine_topk",
         "embedding_lsh_ann",
         "embedding_multitable_ann",
         "embedding_ivf_ann",
+        "embedding_ivf_fitted_ann",
         "event_window_agg",
         "window_rank",
         "semi_join",
     ]:
-        t0 = time.monotonic()
-        # count() materializes the full result without driver collection
-        qs[name](spark, sf_dir).count()
-        timings[name] = round(time.monotonic() - t0, 2)
+        timed(name, lambda name=name: qs[name](spark, sf_dir))
 
     total = round(sum(timings.values()), 2)
     print(

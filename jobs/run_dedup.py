@@ -71,6 +71,11 @@ def main(argv: list[str] | None = None) -> int:
         lsh_bands=args.lsh_bands,
         jaccard_threshold=args.jaccard_threshold,
         checkpoint_dir=args.checkpoint_dir,
+        **(
+            {"shuffle_partitions": args.shuffle_partitions}
+            if args.shuffle_partitions
+            else {}
+        ),
     )
     spark = get_spark(master=args.master, shuffle_partitions=args.shuffle_partitions)
     if args.fixture is not None:

@@ -1,0 +1,91 @@
+"""Driver-side ANN helpers (functions/embeddings.py): plane-count
+auto-scaling, multiprobe mask enumeration, and the fitted-IVF k-means —
+all pure Python/numpy (no SparkSession), all deterministic because both
+the Spark operators and the DuckDB oracle generators embed their
+outputs as literals."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from umi_collapse_rs_spark.functions.embeddings import (
+    _probe_masks,
+    auto_n_planes,
+    fit_ivf_centroids,
+    parquet_num_rows,
+)
+
+SF001 = "/root/testdata/sf0.001/embeddings.parquet"
+SF01 = "/root/testdata/sf0.01/embeddings.parquet"
+
+
+def test_auto_n_planes_tracks_occupancy():
+    # planes = ceil(log2(n / cap)), floored at 2: expected bucket
+    # occupancy n / 2^planes always lands in (cap/2, cap]
+    for n in (500, 2_000, 1_000_000, 10**9):
+        p = auto_n_planes(n, 64)
+        occ = n / (1 << p)
+        assert occ <= 64
+        assert occ > 32 or p == 2
+    assert auto_n_planes(500, 64) == 3
+    assert auto_n_planes(2_000, 64) == 5
+    assert auto_n_planes(10, 64) == 2  # tiny corpora floor, never 0/negative
+    assert auto_n_planes(10**9, 64) == 24
+
+
+def test_probe_masks_distinct_and_sized():
+    for p in (3, 5, 8):
+        h1 = _probe_masks(p, 1)
+        h2 = _probe_masks(p, 2)
+        assert len(h1) == p
+        assert len(h2) == p + p * (p - 1) // 2
+        # all masks distinct and nonzero => probe buckets are pairwise
+        # distinct => no (query, neighbor) pair arises twice
+        assert len(set(h2)) == len(h2)
+        assert 0 not in h2
+        assert all(bin(m).count("1") <= 2 for m in h2)
+
+
+def test_parquet_num_rows_matches_table():
+    import pyarrow.parquet as pq
+
+    assert parquet_num_rows(SF001) == pq.read_table(SF001).num_rows
+
+
+def test_fit_ivf_centroids_deterministic_unit_norm():
+    a = fit_ivf_centroids(SF01, n_centroids=8, iters=5)
+    b = fit_ivf_centroids(SF01, n_centroids=8, iters=5)
+    assert a.shape == (8, 64)
+    np.testing.assert_array_equal(a, b)  # bit-identical across calls
+    np.testing.assert_allclose(np.linalg.norm(a, axis=1), 1.0, atol=1e-12)
+
+
+def test_fit_ivf_centroids_improves_quantization():
+    """The fit must beat seed-random centroids at its own objective:
+    mean max-dot (cosine to the assigned centroid) over the corpus."""
+    import pyarrow.parquet as pq
+
+    from umi_collapse_rs_spark.functions.embeddings import ivf_centroids
+
+    emb = np.asarray(pq.read_table(SF01)["embedding"].to_pylist(), dtype=np.float64)
+    X = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    fitted = fit_ivf_centroids(SF01, n_centroids=16)
+    rand = ivf_centroids(16, 64, seed=7)
+    assert (X @ fitted.T).max(axis=1).mean() > (X @ rand.T).max(axis=1).mean()
+
+
+def test_fit_sample_cap_bounds_read():
+    # with a cap below the table size the fit still returns a valid
+    # quantizer (stride sample is a pure function of the file)
+    c = fit_ivf_centroids(SF01, n_centroids=4, sample_cap=100, iters=3)
+    assert c.shape == (4, 64)
+    d = fit_ivf_centroids(SF01, n_centroids=4, sample_cap=100, iters=3)
+    np.testing.assert_array_equal(c, d)
+
+
+def test_auto_planes_guardrail():
+    with pytest.raises(ValueError, match="n_planes|n_rows"):
+        from umi_collapse_rs_spark.functions.embeddings import hyperplane_lsh_topk
+
+        hyperplane_lsh_topk(None, "id", "emb")  # neither n_planes nor n_rows

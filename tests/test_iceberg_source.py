@@ -47,9 +47,12 @@ def test_iceberg_branch_not_dead_code(spark, tmp_path):
     spark.conf.set("spark.sql.catalog.iceberg", "org.apache.iceberg.spark.SparkCatalog")
     try:
         if _iceberg_jar_present(spark):
+            # real runtime present: full create / append / read round-trip
             pages = pages_spark_df(spark, 20)
             write_table(pages, "iceberg.db.pages_rt")
             assert read_pages(spark, "iceberg.db.pages_rt").count() == 20
+            write_table(pages_spark_df(spark, 5), "iceberg.db.pages_rt", mode="append")
+            assert read_pages(spark, "iceberg.db.pages_rt").count() == 25
         else:
             with pytest.raises(Exception, match="(?i)iceberg"):
                 read_pages(spark, "iceberg.db.pages_rt")
