@@ -166,8 +166,21 @@ def test_ann_scoring_parallelism_is_pinned(spark):
     ivf = ivf_topk(e, "vec_id", "embedding")
     assert sc.statusTracker().getJobIdsForGroup("ann_pin_probe") == []
     sc.setJobGroup("", "")
+    # fitted centroids flow through the same plan (literals, no extra
+    # jobs beyond the driver-side pyarrow fit)
+    from umi_collapse_rs_spark.functions.embeddings import fit_ivf_centroids
+
+    fitted = ivf_topk(
+        e,
+        "vec_id",
+        "embedding",
+        centroids=fit_ivf_centroids(
+            "/root/testdata/sf0.001/embeddings.parquet", n_centroids=8, iters=3
+        ),
+    )
     for df in (
         ivf,
+        fitted,
         hyperplane_lsh_topk(e, "vec_id", "embedding", n_planes=6),
         lsh_blocked_near_dup_pairs(e, "vec_id", "embedding", threshold=0.35),
         multitable_lsh_topk(e, "vec_id", "embedding", n_tables=4),

@@ -170,6 +170,17 @@ def main() -> int:
 
     clusters = {r["clusters"] for rs in runs.values() for r in rs}
     same = len(clusters) == 1
+    per_rep = ""
+    if set(cores_list) >= {1, 4} and len(runs[1]) == len(runs[4]):
+        pairs = [
+            round(runs[4][i]["pages_per_sec"] / runs[1][i]["pages_per_sec"] / 4, 3)
+            for i in range(len(runs[1]))
+        ]
+        per_rep = (
+            "- per-repeat pairings (same-rep 4-core over 1-core): "
+            + ", ".join(f"rep{i} {p}" for i, p in enumerate(pairs))
+            + "\n"
+        )
     rows = "\n".join(
         "| local[{c}] | {walls} | {tps} | {med} |".format(
             c=c,
@@ -210,7 +221,7 @@ numbers published:
 
 - **N -> 4N (1 -> 4 cores): {round(tp[4] / tp[1], 2)}x median speedup,
   scaling efficiency {eff(1, 4)}** (criterion >= 0.8)
-- run-to-run spread (max-min over median): local[1] {spread.get(1)}%, local[4] {spread.get(4)}%
+{per_rep}- run-to-run spread (max-min over median): local[1] {spread.get(1)}%, local[4] {spread.get(4)}%
 - cluster outputs identical across every run and parallelism level: {same}
 
 ## Root cause of the r2 "0.72" measurement
