@@ -55,6 +55,13 @@ def main() -> int:
     from umi_collapse_rs_spark.plans.pipeline import run_dedup_pipeline
     from umi_collapse_rs_spark.session import get_spark
 
+    # shuffle partitions stay at the session default (32) for this tier:
+    # A/B at 150k pages on 32 cores measured sp=96 40% SLOWER (37.4 s vs
+    # 26.6 s flagship) — with ~5k rows/partition the task overhead
+    # dominates any balance gain.  The 3x-cores rule pays where
+    # partitions would otherwise be few and fat (the 1-vs-4-core scaling
+    # harness, tools/bench_scaling.py); granularity is a per-tier knob,
+    # not a constant.
     spark = get_spark(app_name="bench")
     timings: dict[str, float] = {}
 

@@ -118,16 +118,24 @@ def propagate_min_label(
                 ),
                 "_old",
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: the stats agg below is the round's single
+            # action — it materializes the checkpoint blocks AND computes
+            # the convergence stats in one pass (the r2 shape ran an
+            # eager-checkpoint job plus a separate stats job per round,
+            # scanning the labels twice)
+            .localCheckpoint(eager=False)
         )
         changed = jumped.filter(F.col("label") != F.col("_old")).select("_nid", "label")
         # one action per round: convergence count + observed id width
         # (drives the broadcast decision for the NEXT round's gather)
         # cast: the operator is id-type generic; F.length on a numeric
         # id would trip ANSI implicit-cast rules
-        stats = changed.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg(F.length(F.col("_nid").cast("string"))).alias("id_len"),
+        is_changed = F.col("label") != F.col("_old")
+        stats = jumped.agg(
+            F.count_if(is_changed).alias("n"),
+            F.avg(
+                F.when(is_changed, F.length(F.col("_nid").cast("string")))
+            ).alias("id_len"),
         ).first()
         n_changed = stats["n"]
         per_row = 2 * (stats["id_len"] or 0.0) + _ROW_OVERHEAD
