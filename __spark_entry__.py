@@ -630,6 +630,49 @@ def q_embedding_ivf_fitted_ann(spark, sf_dir):
     return ivf_topk(e, "vec_id", "embedding", nprobe=5, centroids=cents)
 
 
+def q_incremental_assign(spark, sf_dir):
+    """Incremental dedup (plans/incremental.py — no reference analog;
+    the operation a 10^12-doc pipeline performs per crawl snapshot):
+    documents split 80/20 by doc_id %% 5 == 4; the old 80%% runs the
+    full dir pipeline (sql-fingerprint mode) and its state (sha index +
+    canonical fingerprints) absorbs the new batch — the 20%% plus a
+    deterministic recrawl (every doc_id %% 25 == 0 page re-fetched
+    byte-identical under a recrawl:// url, exercising the exact path;
+    the documents table itself has no exact dups).  Output: one row
+    per new page (url, canonical_url, via in exact|near|new).  The
+    oracle recomputes the whole thing: old pipeline closure, state,
+    cross probe + gate, residual closure — two recursive CTEs."""
+    from umi_collapse_rs_spark.config import DedupConfig
+    from umi_collapse_rs_spark.plans.incremental import build_state, incremental_assign
+    from umi_collapse_rs_spark.plans.pipeline import run_dedup_pipeline
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.format_string("doc://%07d", "doc_id").alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id") * 17).alias("warc_ts"),
+        "text",
+        "lang",
+        (F.col("doc_id") % 5 == 4).alias("is_new"),
+    )
+    recrawl = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.format_string("recrawl://%07d", "doc_id").alias("url"),
+        F.timestamp_seconds(
+            F.lit(1735689600) + F.col("doc_id") * 17 + F.lit(1000000)
+        ).alias("warc_ts"),
+        "text",
+        "lang",
+        F.lit(True).alias("is_new"),
+    )
+    pages = base.unionByName(recrawl)
+    cfg = DedupConfig(algo="dir", **_SQL_PIPELINE_CFG)
+    res = run_dedup_pipeline(spark, pages.filter(~F.col("is_new")).drop("is_new"), cfg)
+    state = build_state(res)
+    inc = incremental_assign(
+        spark, state, pages.filter(F.col("is_new")).drop("is_new"), cfg
+    )
+    return inc.assignments
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
     Runs the production (numpy-fingerprint) pipeline."""
@@ -679,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ivf_ann": q_embedding_ivf_ann,
         "embedding_ivf_fitted_ann": q_embedding_ivf_fitted_ann,
         "substring_overlap_pairs": q_substring_overlap_pairs,
+        "incremental_assign": q_incremental_assign,
     }
 
 
@@ -697,6 +741,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_adj": oracles.dedup_clusters_oracle_sql("adj"),
         "near_dup_pairs": oracles.near_dup_pairs_oracle_sql(),
         "substring_overlap_pairs": oracles.substring_overlap_oracle_sql(),
+        "incremental_assign": oracles.incremental_assign_oracle_sql(),
         "exact_collapse": """
             SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_sha,
                    count(*) AS freq,

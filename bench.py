@@ -91,6 +91,37 @@ def main() -> int:
     timings["dedup_pipeline_fixture[numpy]"] = round(dt, 2)
     pages_per_sec = round(n_pages / dt, 1)
 
+    # --- incremental dedup (production identity): state from the
+    # flagship run absorbs a mixed batch — 10% recrawls (exact path)
+    # plus the sf documents as fresh content (near/new paths).  This
+    # times the PER-BATCH cost, the number that matters at 10^12 docs
+    # where re-running the full pipeline per snapshot is off the table.
+    from pyspark.sql import functions as F
+
+    from umi_collapse_rs_spark.plans.incremental import build_state, incremental_assign
+
+    state = build_state(res)
+    recrawl = pages.filter(F.substring("url", -1, 1) == "7").select(
+        F.concat(F.lit("recrawl://"), F.col("url")).alias("url"),
+        F.col("warc_ts"),
+        "html",
+        "text",
+        "lang",
+    )
+    fresh = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.format_string("fresh://%07d", "doc_id").alias("url"),
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id") * 17).alias("warc_ts"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    batch = recrawl.drop("html").unionByName(fresh)
+    timed(
+        "incremental_assign[numpy]",
+        lambda: incremental_assign(
+            spark, state, batch, DedupConfig(), index_bucket_cap=64
+        ).assignments,
+    )
+
     # --- fingerprint-dependent queries: BOTH twins, mode-tagged.
     # The [sql] twins are the driver-oracle identities (sha256-based
     # Column-expression fingerprints — documented ~5x dearer than the
@@ -100,8 +131,6 @@ def main() -> int:
     # item #4: r1->r2 looked regressed only because these queries
     # silently switched identity).
     qs = entry_mod.queries()
-    from pyspark.sql import functions as F
-
     from umi_collapse_rs_spark.functions.udfs import make_combined_fingerprint_udf
     from umi_collapse_rs_spark.operators.candidates import minhash_lsh_pairs
 

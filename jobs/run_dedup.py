@@ -3,9 +3,17 @@
 
 Usage (north_rule: runs via ``spark-submit --py-files``):
 
-    spark-submit --py-files umi_collapse_rs_spark.zip jobs/run_dedup.py \
+    spark-submit --driver-memory 24g --py-files umi_collapse_rs_spark.zip \
+        jobs/run_dedup.py \
         --input /path/to/pages_parquet --output /tmp/dedup_out \
         --algo dir --checkpoint-dir /tmp/dedup_ckpt
+
+``--driver-memory`` matters under spark-submit: the JVM exists before
+session.py's ``spark.driver.memory=24g`` default can apply, so the
+1 GiB spark-submit default OOMs around 100k fixture pages in local
+mode (where the driver heap IS all executor memory).  Python launches
+(``python jobs/run_dedup.py``) get the session.py default
+automatically.
 
     # or generate the synthetic fixture corpus in-process:
     spark-submit jobs/run_dedup.py --fixture 5000 --output /tmp/dedup_out

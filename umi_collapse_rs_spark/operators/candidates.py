@@ -229,6 +229,80 @@ def minhash_lsh_pairs(
     return pairs.select("src", "dst", F.lit(None).cast("int").alias("dist"), F.lit("minhash").alias("source"))
 
 
+def cross_banded_pairs(
+    fp_probe: DataFrame,
+    fp_index: DataFrame,
+    simhash_bands: int,
+    index_bucket_cap: int | None = None,
+    id_col: str = "url",
+) -> DataFrame:
+    """Candidate pairs BETWEEN two fingerprint tables (incremental
+    dedup: a new crawl batch probed against persisted canonical state;
+    no reference analog — the reference is single-corpus).
+
+    Both inputs need (id_col, simhash, mh_bands).  Returns distinct
+    ``(probe_id, index_id)`` — every pair that shares a SimHash
+    pigeonhole piece (Hamming-ball candidates) or a MinHash band value
+    (Jaccard candidates).  Two equi-joins on bucket keys, one distinct;
+    never a crossJoin.
+
+    Scale shape: both sides shuffle on (bucket kind, idx, val).  At
+    10^12-doc state the index side is the big one — production keeps
+    the state table bucketed on the band value (Iceberg bucket
+    partitioning) so only the batch side moves.  ``index_bucket_cap``
+    bounds skew the same way bucket_pair_cap does for self-joins: a
+    boilerplate band bucket with millions of state canonicals would
+    multiply every probe in it, so buckets keep only the ``cap``
+    highest-priority (max freq, then min id) canonicals — the likeliest
+    absorbers under the directional gate.  None = uncapped (the oracle
+    configuration, exact by pigeonhole/banding).
+    """
+    width = 64 // simhash_bands
+    mask = (1 << width) - 1
+
+    def keyed(fp: DataFrame, side: str) -> DataFrame:
+        pieces = F.array(
+            *[
+                F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+                for i in range(simhash_bands)
+            ]
+        )
+        sim = fp.select(
+            F.col(id_col).alias(side),
+            F.lit("s").alias("_kind"),
+            F.posexplode(pieces).alias("_bidx", "_bval"),
+        )
+        mh = fp.select(
+            F.col(id_col).alias(side),
+            F.lit("m").alias("_kind"),
+            F.posexplode("mh_bands").alias("_bidx", "_bval"),
+        )
+        return sim.unionByName(mh)
+
+    index_keyed = keyed(fp_index, "index_id")
+    if index_bucket_cap is not None:
+        w = Window.partitionBy("_kind", "_bidx", "_bval").orderBy(
+            F.desc("_freq"), F.asc("index_id")
+        )
+        index_keyed = (
+            index_keyed.join(
+                fp_index.select(
+                    F.col(id_col).alias("index_id"), F.col("freq").alias("_freq")
+                ),
+                "index_id",
+            )
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= index_bucket_cap)
+            .drop("_rk", "_freq")
+        )
+    return (
+        keyed(fp_probe, "probe_id")
+        .join(index_keyed, ["_kind", "_bidx", "_bval"])
+        .select("probe_id", "index_id")
+        .dropDuplicates(["probe_id", "index_id"])
+    )
+
+
 def window_overlap_pairs(
     docs: DataFrame,
     min_shared_windows: int,

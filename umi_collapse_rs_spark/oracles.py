@@ -290,6 +290,238 @@ def substring_overlap_oracle_sql(window: int = 16, stride: int = 4, min_shared: 
         HAVING count(*) >= {min_shared}"""
 
 
+def incremental_assign_oracle_sql() -> str:
+    """Incremental dedup (plans/incremental.incremental_assign):
+    documents split 80/20 by ``doc_id % 5 = 4``; the old 80% runs the
+    full dir pipeline to build state (sha index + canonical freqs);
+    the NEW batch is the 20% plus a deterministic *recrawl* — every
+    ``doc_id % 25 = 0`` page re-fetched byte-identical under a
+    ``recrawl://`` url and a later warc_ts (the documents table has no
+    exact duplicates, so without the recrawl rows the 'exact' path
+    would be vacuously green).  Every new page is assigned via
+    'exact' (sha already in the corpus -> its twin's cluster),
+    'near' (banded probe vs canonicals, verify + directional gate,
+    highest-priority absorbing canonical wins), or
+    'new' (residual within-batch dir clustering).
+
+    Fingerprints are computed ONCE over the union of old and new reps
+    (per-text deterministic, so computing jointly == per-half); the
+    old-half closure and the residual closure are two recursive CTEs.
+
+    Every shared chain CTE carries an ``AS MATERIALIZED`` hint: DuckDB
+    inlines single-reference CTEs, so without the hints each stage of
+    this (deep) chain re-computes its whole upstream per consumer —
+    measured 10 s -> 0.3 s for the residual stage at 500 docs, and the
+    final recursion never finished un-hinted.
+    """
+    pages_split = """
+        pages AS (
+            SELECT printf('doc://%07d', doc_id) AS url,
+                   to_timestamp(1735689600 + doc_id * 17) AS warc_ts,
+                   text, lang, (doc_id % 5 = 4) AS is_new
+            FROM documents
+            UNION ALL
+            SELECT printf('recrawl://%07d', doc_id),
+                   to_timestamp(1735689600 + doc_id * 17 + 1000000),
+                   text, lang, TRUE
+            FROM documents WHERE doc_id % 25 = 0
+        ),
+        norm AS (
+            SELECT url, warc_ts, lang, is_new,
+                   trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_norm
+            FROM pages
+        )"""
+    collapse = """
+        grp_o AS (
+            SELECT sha256(text_norm) AS text_sha, any_value(text_norm) AS text_norm,
+                   min(printf('%020d|%s', epoch(warc_ts)::BIGINT, url)) AS repkey,
+                   count(*) AS freq
+            FROM norm WHERE NOT is_new GROUP BY 1
+        ),
+        reps_o AS (SELECT text_sha, text_norm, split_part(repkey, '|', 2) AS url, freq FROM grp_o),
+        grp_n AS (
+            SELECT sha256(text_norm) AS text_sha, any_value(text_norm) AS text_norm,
+                   min(printf('%020d|%s', epoch(warc_ts)::BIGINT, url)) AS repkey,
+                   count(*) AS freq
+            FROM norm WHERE is_new GROUP BY 1
+        ),
+        reps_n AS (SELECT text_sha, text_norm, split_part(repkey, '|', 2) AS url, freq FROM grp_n),
+        fpdocs AS (SELECT url, freq, text_norm FROM reps_o
+                   UNION ALL SELECT url, freq, text_norm FROM reps_n)"""
+    k, me = SQL_HAMMING_K, SQL_MIN_EQ
+    old_pipeline = f"""
+        pairs_o AS (
+            SELECT a.url AS src, b.url AS dst,
+                   bit_count(xor(fa.simhash, fb.simhash)) AS dist,
+                   a.freq AS f_src, b.freq AS f_dst
+            FROM reps_o a JOIN reps_o b ON a.url < b.url
+            JOIN fp fa ON fa.url = a.url JOIN fp fb ON fb.url = b.url
+        ),
+        bm_o AS (
+            SELECT a.url AS src, b.url AS dst, count(*) AS n_eq
+            FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.url < b.url
+            WHERE a.url IN (SELECT url FROM reps_o) AND b.url IN (SELECT url FROM reps_o)
+            GROUP BY 1, 2
+        ),
+        verified_o AS (
+            SELECT p.src, p.dst, p.dist, p.f_src, p.f_dst
+            FROM pairs_o p LEFT JOIN bm_o USING (src, dst)
+            WHERE p.dist <= {k} OR coalesce(n_eq, 0) >= {me}
+        ),
+        gated_o AS (
+            SELECT src, dst FROM verified_o
+            WHERE dist = 0 OR f_dst <= floor(0.5 * (f_src + 1))
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM verified_o
+            WHERE dist = 0 OR f_src <= floor(0.5 * (f_dst + 1))
+        ),
+        pnodes_o AS (
+            SELECT DISTINCT url FROM (
+                SELECT src AS url FROM verified_o
+                UNION ALL SELECT dst FROM verified_o)
+        ),
+        keys_o AS (
+            SELECT f.url, {_KEY} AS k FROM fp f JOIN pnodes_o USING (url)
+        ),
+        reach_o AS (
+            SELECT url AS n, url AS anc FROM keys_o
+            UNION
+            SELECT r.n, e.src AS anc
+            FROM reach_o r JOIN gated_o e ON e.dst = r.anc
+        ),
+        roots_o AS (
+            SELECT r.n AS url, min_by(r.anc, k2.k) AS root_id
+            FROM reach_o r JOIN keys_o k2 ON k2.url = r.anc
+            GROUP BY r.n
+        ),
+        assign_o AS (
+            SELECT r.url, r.text_sha, r.freq,
+                   coalesce(ro.root_id, r.url) AS canonical_url
+            FROM reps_o r LEFT JOIN roots_o ro ON ro.url = r.url
+        ),
+        state AS (
+            SELECT canonical_url AS url, sum(freq)::BIGINT AS freq
+            FROM assign_o GROUP BY 1
+        )"""
+    incremental = f"""
+        exact_m AS (
+            SELECT n.url AS rep_url, a.canonical_url
+            FROM reps_n n JOIN assign_o a ON a.text_sha = n.text_sha
+        ),
+        restn AS (
+            SELECT n.url, n.freq FROM reps_n n
+            WHERE n.url NOT IN (SELECT rep_url FROM exact_m)
+        ),
+        statefp AS (
+            SELECT s.url, s.freq, f.simhash FROM state s JOIN fp f USING (url)
+        ),
+        xp AS (
+            SELECT r.url AS n_url, sc.url AS s_url,
+                   bit_count(xor(fn.simhash, sc.simhash)) AS dist,
+                   r.freq AS f_n, sc.freq AS f_s
+            FROM restn r JOIN fp fn ON fn.url = r.url
+            CROSS JOIN statefp sc
+        ),
+        xbm AS (
+            SELECT a.url AS n_url, b.url AS s_url, count(*) AS n_eq
+            FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv
+            WHERE a.url IN (SELECT url FROM restn) AND b.url IN (SELECT url FROM state)
+            GROUP BY 1, 2
+        ),
+        xgate AS (
+            SELECT x.* FROM xp x LEFT JOIN xbm USING (n_url, s_url)
+            WHERE (x.dist <= {k} OR coalesce(n_eq, 0) >= {me})
+              AND (x.dist = 0 OR x.f_n <= floor(0.5 * (x.f_s + 1)))
+        ),
+        near_m AS (
+            SELECT n_url AS rep_url,
+                   min_by(s_url, printf('%010d|%s', 2000000000 - f_s, s_url)) AS canonical_url
+            FROM xgate GROUP BY 1
+        ),
+        resid AS (
+            SELECT r.url, r.freq FROM restn r
+            WHERE r.url NOT IN (SELECT rep_url FROM near_m)
+        ),
+        pairs_r AS (
+            SELECT a.url AS src, b.url AS dst,
+                   bit_count(xor(fa.simhash, fb.simhash)) AS dist,
+                   a.freq AS f_src, b.freq AS f_dst
+            FROM resid a JOIN resid b ON a.url < b.url
+            JOIN fp fa ON fa.url = a.url JOIN fp fb ON fb.url = b.url
+        ),
+        bm_r AS (
+            SELECT a.url AS src, b.url AS dst, count(*) AS n_eq
+            FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.url < b.url
+            WHERE a.url IN (SELECT url FROM resid) AND b.url IN (SELECT url FROM resid)
+            GROUP BY 1, 2
+        ),
+        verified_r AS (
+            SELECT p.src, p.dst, p.dist, p.f_src, p.f_dst
+            FROM pairs_r p LEFT JOIN bm_r USING (src, dst)
+            WHERE p.dist <= {k} OR coalesce(n_eq, 0) >= {me}
+        ),
+        gated_r AS (
+            SELECT src, dst FROM verified_r
+            WHERE dist = 0 OR f_dst <= floor(0.5 * (f_src + 1))
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM verified_r
+            WHERE dist = 0 OR f_src <= floor(0.5 * (f_dst + 1))
+        ),
+        pnodes_r AS (
+            SELECT DISTINCT url FROM (
+                SELECT src AS url FROM verified_r
+                UNION ALL SELECT dst FROM verified_r)
+        ),
+        keys_r AS (
+            SELECT f.url, {_KEY} AS k FROM fp f JOIN pnodes_r USING (url)
+        ),
+        reach_r AS (
+            SELECT url AS n, url AS anc FROM keys_r
+            UNION
+            SELECT r.n, e.src AS anc
+            FROM reach_r r JOIN gated_r e ON e.dst = r.anc
+        ),
+        roots_r AS (
+            SELECT r.n AS url, min_by(r.anc, k2.k) AS root_id
+            FROM reach_r r JOIN keys_r k2 ON k2.url = r.anc
+            GROUP BY r.n
+        ),
+        new_m AS (
+            SELECT rd.url AS rep_url, coalesce(ro.root_id, rd.url) AS canonical_url
+            FROM resid rd LEFT JOIN roots_r ro ON ro.url = rd.url
+        ),
+        rep_assign AS (
+            SELECT rep_url, canonical_url, 'exact' AS via FROM exact_m
+            UNION ALL SELECT rep_url, canonical_url, 'near' FROM near_m
+            UNION ALL SELECT rep_url, canonical_url, 'new' FROM new_m
+        ),
+        membs AS (SELECT url, sha256(text_norm) AS text_sha FROM norm WHERE is_new)
+        SELECT m.url, ra.canonical_url, ra.via
+        FROM membs m
+        JOIN reps_n rn USING (text_sha)
+        JOIN rep_assign ra ON ra.rep_url = rn.url"""
+    sql = (
+        "WITH RECURSIVE "
+        + pages_split
+        + ","
+        + collapse
+        + ","
+        + fingerprint_ctes(SQL_K, SQL_BANDS)
+        + ","
+        + old_pipeline
+        + ","
+        + incremental
+    )
+    for cte in (
+        "norm", "reps_o", "reps_n", "fpdocs", "shh", "fp", "bands",
+        "verified_o", "gated_o", "keys_o", "assign_o", "state",
+        "restn", "statefp", "near_m", "resid",
+        "verified_r", "gated_r", "keys_r",
+    ):
+        sql = sql.replace(f"{cte} AS (", f"{cte} AS MATERIALIZED (", 1)
+    return sql
+
+
 def merge_rule_oracle_sql(merge: str) -> str:
     """Exact-collapse representative election under a merge rule, over
     the 2-token-prefix group key (__spark_entry__._merge_rule_query).

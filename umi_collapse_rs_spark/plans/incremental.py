@@ -1,0 +1,282 @@
+"""Incremental dedup — assign a NEW crawl batch against persisted
+cluster state without re-clustering the corpus.
+
+No reference analog (``umi-collapse-rs`` is single-corpus, one arena
+per run); this is the operation a 10^12-document pipeline actually
+performs every crawl: the full pipeline ran once, its state (an exact
+sha index + canonical fingerprints) is persisted in Iceberg, and each
+new snapshot is deduped AGAINST that state plus within itself.  Cost
+per batch is O(batch) probes, not O(corpus) — re-running the full
+pipeline at 100 TB to absorb a 1 TB snapshot re-shuffles the corpus;
+this plan shuffles the batch.
+
+Assignment contract (deterministic; "state wins"):
+
+1. **exact**  — batch page whose normalized text sha already exists in
+   the state's sha index joins that sha's cluster.  A byte-identical
+   page is a duplicate of its twin regardless of which cluster the
+   twin landed in.
+2. **near**   — remaining batch reps probe the canonical fingerprints
+   with the same banded candidate scheme as the full pipeline
+   (SimHash pigeonhole pieces + MinHash bands, operators/candidates.
+   cross_banded_pairs), verified by the same predicate
+   (Hamming <= k OR signature similarity >= threshold) and gated by
+   the same directional rule — the state canonical absorbs the batch
+   rep iff ``dist == 0 OR f_batch <= trunc(p * (f_state + 1))``
+   (reference semantics, directional.rs:38; state is history, so only
+   the state->batch direction exists).  Among several absorbing
+   canonicals the highest-priority one wins (max freq, then min url —
+   the same key the full pipeline's min-label clustering uses).
+3. **new**    — batch reps matched by neither step run the standard
+   within-batch pipeline (candidates -> verify -> directional gate ->
+   min-label clustering) and form new clusters.
+
+Divergence from a full-corpus rerun, documented: a batch rep absorbed
+by state ("state wins") does not also bridge two batch-only clusters,
+and absorption is one-hop (no transitive growth through the new rep).
+Both match the reference's own greedy "delete as you absorb" behavior
+for nodes processed later — the batch is, by definition, later.
+
+State is composable: ``IncrementalResult.state_out`` is the same shape
+as the input state with frequencies grown by absorbed batch mass and
+new clusters appended, so batches chain (test_incremental exercises
+two chained batches).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from umi_collapse_rs_spark.config import DedupConfig
+from umi_collapse_rs_spark.operators.candidates import (
+    cross_banded_pairs,
+    minhash_lsh_pairs,
+    simhash_band_pairs,
+)
+from umi_collapse_rs_spark.operators.cluster import propagate_min_label
+from umi_collapse_rs_spark.operators.edges import (
+    directional_edges,
+    union_pairs,
+)
+from umi_collapse_rs_spark.operators.exact import exact_collapse, with_norm
+
+# priority key of a canonical under the directional rule: max freq,
+# then lexicographically min url (cluster.py's struct(-freq, id))
+def _prio(freq_col: str, url_col: str):
+    return F.struct((-F.col(freq_col)).cast("long").alias("nf"), F.col(url_col).alias("lid"))
+
+
+@dataclass
+class DedupState:
+    """Persisted between-run dedup state (both tables live in Iceberg /
+    parquet in production; ~40 B/row sha index + ~1 KB/row canonicals)."""
+
+    sha_index: DataFrame   # (text_sha, canonical_url) — one row per distinct corpus text
+    canonicals: DataFrame  # (url, freq, simhash, mh_bands, mh_sig) — one row per cluster
+
+
+@dataclass
+class IncrementalResult:
+    assignments: DataFrame  # (url, canonical_url, via) — one row per NEW page
+    state_out: DedupState   # input state + absorbed mass + new clusters
+
+
+def build_state(res) -> DedupState:
+    """Derive persistable state from a full-pipeline DedupResult
+    (plans/pipeline.run_dedup_pipeline return value; needs its ``reps``
+    and ``fp`` internals)."""
+    rep_clusters = res.clusters.select("url", "canonical_url", "cluster_size")
+    sha_index = (
+        res.reps.select("text_sha", "url")
+        .join(rep_clusters.select("url", "canonical_url"), "url")
+        .select("text_sha", "canonical_url")
+    )
+    canonical_urls = rep_clusters.filter(
+        F.col("url") == F.col("canonical_url")
+    ).select("url", F.col("cluster_size").alias("freq"))
+    canonicals = res.fp.drop("freq").join(canonical_urls, "url").select(
+        "url", "freq", "simhash", "mh_bands", "mh_sig"
+    )
+    return DedupState(sha_index=sha_index, canonicals=canonicals)
+
+
+def _batch_fingerprints(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
+    fp_cols = ["url", "freq", "simhash", "mh_bands", "mh_sig"]
+    if cfg.fingerprint == "sql":
+        from umi_collapse_rs_spark.functions.sqlfp import with_sql_fingerprints
+
+        return with_sql_fingerprints(
+            reps, "text_norm", cfg.shingle_k, cfg.lsh_bands
+        ).select(*fp_cols)
+    from umi_collapse_rs_spark.functions.udfs import make_combined_fingerprint_udf
+
+    fp_udf = make_combined_fingerprint_udf(
+        cfg.shingle_k, cfg.minhash_perms, cfg.lsh_bands, cfg.hash_seed
+    )
+    spread = reps.repartition(cfg.shuffle_partitions, "url")
+    return spread.select(
+        "url", "freq", fp_udf("text_norm").alias("_fp")
+    ).select("url", "freq", *[F.col(f"_fp.{c}").alias(c) for c in fp_cols[2:]])
+
+
+def incremental_assign(
+    spark: SparkSession,
+    state: DedupState,
+    new_pages: DataFrame,
+    cfg: DedupConfig = DedupConfig(window_tokens=0),
+    index_bucket_cap: int | None = None,
+) -> IncrementalResult:
+    """Assign every page of ``new_pages`` to an existing or new cluster.
+
+    ``new_pages`` needs (url, warc_ts, text) and may have (html, lang);
+    batch urls must be disjoint from state urls (new crawl snapshot).
+    ``index_bucket_cap``: skew bound for the state-probe join (see
+    cross_banded_pairs); None = exact (oracle configuration).
+
+    Shuffle budget: exact step 1 hash-agg + 1 broadcast-or-shuffle hash
+    join on text_sha; near step 2 bucket-key exchanges + pair-sized
+    fingerprint joins; residual step = the full pipeline's stage 4-6
+    shape on the (typically small) unmatched remainder only.
+    """
+    in_cols = [c for c in ("url", "warc_ts", "text", "lang") if c in new_pages.columns]
+    pages_norm = with_norm(new_pages.select(*in_cols)).select(
+        "url", "warc_ts", *(["lang"] if "lang" in in_cols else []),
+        "text_sha", "text_norm", "text_len",
+    )
+    reps_n, members_n = exact_collapse(pages_norm, cfg.merge)
+    # the batch rep set feeds 3+ consumers (exact probe, fingerprints,
+    # final expansion) — cut once
+    reps_n = reps_n.localCheckpoint(eager=False)
+
+    # --- step 1: exact sha probe -----------------------------------
+    sha_hit = reps_n.join(state.sha_index, "text_sha").select(
+        F.col("url").alias("rep_url"),
+        "canonical_url",
+        F.lit("exact").alias("via"),
+    )
+    rest = reps_n.join(state.sha_index.select("text_sha"), "text_sha", "left_anti")
+
+    # --- step 2: banded near probe against canonicals ---------------
+    fp_n = _batch_fingerprints(rest, cfg).localCheckpoint(eager=False)
+    cand = cross_banded_pairs(
+        fp_n, state.canonicals, cfg.simhash_bands, index_bucket_cap
+    )
+    sh_p = fp_n.select(
+        F.col("url").alias("probe_id"),
+        F.col("simhash").alias("_sh_p"),
+        F.col("mh_sig").alias("_sig_p"),
+        F.col("freq").alias("_f_p"),
+    )
+    sh_i = state.canonicals.select(
+        F.col("url").alias("index_id"),
+        F.col("simhash").alias("_sh_i"),
+        F.col("mh_sig").alias("_sig_i"),
+        F.col("freq").alias("_f_i"),
+    )
+    n_eq = F.size(
+        F.filter(F.zip_with("_sig_p", "_sig_i", lambda x, y: x == y), lambda b: b)
+    )
+    dist = F.bit_count(F.col("_sh_p").bitwiseXOR(F.col("_sh_i")))
+    verified = (
+        cand.join(sh_p, "probe_id")
+        .join(sh_i, "index_id")
+        .withColumn("_dist", dist)
+        .withColumn("_sig_sim", n_eq / F.size("_sig_p"))
+        .filter(
+            (F.col("_dist") <= cfg.hamming_k)
+            | (F.col("_sig_sim") >= F.lit(cfg.jaccard_threshold))
+        )
+    )
+    # directional gate, state->batch direction only (f32 truncation as
+    # in the reference: (p * (f+1)) as i32 — edges.directional_edges)
+    thr = F.floor(F.lit(cfg.directional_p) * (F.col("_f_i") + 1)).cast("long")
+    gated = verified.filter((F.col("_dist") == 0) | (F.col("_f_p") <= thr))
+    near_hit = (
+        gated.groupBy("probe_id")
+        .agg(F.min_by("index_id", _prio("_f_i", "index_id")).alias("canonical_url"))
+        .select(
+            F.col("probe_id").alias("rep_url"), "canonical_url", F.lit("near").alias("via")
+        )
+    )
+
+    # --- step 3: residual within-batch clustering -------------------
+    fp_r = fp_n.join(near_hit.select(F.col("rep_url").alias("url")), "url", "left_anti")
+    fp_r = fp_r.localCheckpoint(eager=False)  # feeds both candidate generators + verify
+    r_pairs = union_pairs(
+        [
+            simhash_band_pairs(
+                fp_r, cfg.hamming_k, cfg.simhash_bands, cfg.bucket_pair_cap, cfg.chain_width
+            ),
+            minhash_lsh_pairs(fp_r, cfg.bucket_pair_cap, cfg.chain_width),
+        ],
+        fp_r,
+        cfg.jaccard_threshold,
+    )
+    r_edges = directional_edges(r_pairs, fp_r, cfg.directional_p)
+    r_nodes_in_pairs = (
+        r_pairs.select(F.col("src").alias("url"))
+        .unionByName(r_pairs.select(F.col("dst").alias("url")))
+        .dropDuplicates(["url"])
+    )
+    r_nodes = fp_r.select("url", "freq").join(r_nodes_in_pairs, "url", "left_semi")
+    r_roots = propagate_min_label(r_nodes, r_edges, "url", cfg.max_cc_iterations)
+    new_hit = (
+        fp_r.select("url")
+        .join(r_roots, "url", "left")
+        .select(
+            F.col("url").alias("rep_url"),
+            F.coalesce("root_id", "url").alias("canonical_url"),
+            F.lit("new").alias("via"),
+        )
+    )
+
+    # --- assemble: one row per NEW page ------------------------------
+    rep_assign = sha_hit.unionByName(near_hit).unionByName(new_hit)
+    assignments = (
+        members_n.join(reps_n.select("text_sha", F.col("url").alias("rep_url")), "text_sha")
+        .join(rep_assign, "rep_url")
+        .select("url", "canonical_url", "via")
+    )
+
+    # --- state_out: composable across batches ------------------------
+    rep_freq = reps_n.select(F.col("url").alias("rep_url"), "freq")
+    absorbed = (
+        rep_assign.filter(F.col("via") != "new")
+        .join(rep_freq, "rep_url")
+        .groupBy("canonical_url")
+        .agg(F.sum("freq").alias("_added"))
+    )
+    canon_grown = (
+        state.canonicals.join(absorbed, state.canonicals["url"] == absorbed["canonical_url"], "left")
+        .select(
+            state.canonicals["url"],
+            (F.col("freq") + F.coalesce("_added", F.lit(0))).alias("freq"),
+            "simhash", "mh_bands", "mh_sig",
+        )
+    )
+    new_sizes = (
+        rep_assign.filter(F.col("via") == "new")
+        .join(rep_freq, "rep_url")
+        .groupBy("canonical_url")
+        .agg(F.sum("freq").alias("freq"))
+    )
+    canon_new = (
+        fp_r.drop("freq")
+        .join(new_sizes, fp_r["url"] == new_sizes["canonical_url"])
+        .select(fp_r["url"], "freq", "simhash", "mh_bands", "mh_sig")
+    )
+    sha_new = (
+        reps_n.select("text_sha", F.col("url").alias("rep_url"))
+        .join(rep_assign, "rep_url")
+        # exact hits are already present in the input index
+        .filter(F.col("via") != "exact")
+        .select("text_sha", "canonical_url")
+    )
+    state_out = DedupState(
+        sha_index=state.sha_index.unionByName(sha_new),
+        canonicals=canon_grown.unionByName(canon_new),
+    )
+    return IncrementalResult(assignments=assignments, state_out=state_out)

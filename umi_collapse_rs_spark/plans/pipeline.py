@@ -57,6 +57,10 @@ class DedupResult:
     metrics: DataFrame         # per-stage rows_in/rows_out/wall_ms
     lineage: DataFrame         # (url, partition_id, checkpoint_epoch)
     stage_metrics: list[dict] = field(default_factory=list)
+    # internals exposed for plans/incremental.build_state (state =
+    # sha index + canonical fingerprints persisted between crawl runs)
+    reps: DataFrame | None = None   # (text_sha, url, warc_ts, text_norm, lang, freq)
+    fp: DataFrame | None = None     # (url, freq, simhash, mh_bands, mh_sig[, win_hashes])
 
 
 def run_dedup_pipeline(
@@ -248,4 +252,6 @@ def run_dedup_pipeline(
         metrics=metrics,
         lineage=lineage,
         stage_metrics=stage_metrics,
+        reps=reps,
+        fp=fp,
     )
