@@ -9,7 +9,6 @@ fingerprint mode, and the no-crossJoin plan shape.
 
 from __future__ import annotations
 
-import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -159,3 +158,27 @@ def test_no_cartesian_product_in_plan(spark, fixture_500):
     plan = inc.assignments._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_empty_state_degenerates_to_full_batch_clustering(spark, fixture_500):
+    """With no state, every page goes through the residual path and the
+    assignment equals the full pipeline's cluster mapping on the same
+    batch (same stages, same gates — the incremental plan adds nothing
+    and loses nothing)."""
+    pages, _ = fixture_500
+    batch = pages.filter(F.substring("url", -1, 1).isin("3", "7"))
+    empty_state = DedupState(
+        sha_index=spark.createDataFrame([], "text_sha string, canonical_url string"),
+        canonicals=spark.createDataFrame(
+            [],
+            "url string, freq long, simhash long, "
+            "mh_bands array<long>, mh_sig array<long>",
+        ),
+    )
+    inc = incremental_assign(spark, empty_state, batch, CFG)
+    a = inc.assignments.toPandas()
+    assert (a["via"] == "new").all()
+    full = run_dedup_pipeline(spark, batch, CFG).clusters.toPandas()
+    merged = a.merge(full[["url", "canonical_url"]], on="url", suffixes=("_inc", "_full"))
+    assert len(merged) == len(a) == len(full)
+    assert (merged["canonical_url_inc"] == merged["canonical_url_full"]).all()

@@ -202,3 +202,34 @@ def test_semi_join_goes_broadcast_when_small(spark):
     small = spark.read.parquet(f"{sf}/region.parquet")
     j = big.join(F.broadcast(small), big.l_suppkey == small.r_regionkey, "left_semi")
     assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_cross_banded_pairs_plan_shape(spark):
+    """Incremental probe join (plans/incremental.py): bucket-key
+    equi-join, never a cross join; the skew cap adds exactly one
+    WindowExec (row_number per bucket) on the index side."""
+    from umi_collapse_rs_spark.operators.candidates import cross_banded_pairs
+
+    fp = (
+        spark.range(200)
+        .select(
+            F.format_string("u%04d", "id").alias("url"),
+            (F.col("id") * 2654435761).alias("simhash"),
+            F.array(F.col("id") % 7, F.col("id") % 11).alias("mh_bands"),
+            F.lit(1).alias("freq"),
+        )
+    )
+    import re
+
+    uncapped = cross_banded_pairs(fp, fp, simhash_bands=4)
+    plan = _plan(uncapped)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0  # no cap => no ranking pass
+    capped = cross_banded_pairs(fp, fp, simhash_bands=4, index_bucket_cap=8)
+    plan_c = _plan(capped)
+    assert "CartesianProduct" not in plan_c and "BroadcastNestedLoopJoin" not in plan_c
+    assert len(re.findall(r"\(\d+\) Window\b", plan_c)) == 1
+    # Spark 4 plans the rank<=cap filter as WindowGroupLimit — a partial
+    # top-k BEFORE the exchange, so a mega-bucket's excess index rows
+    # never even shuffle.  Pin that: it's the skew bound's scale story.
+    assert "WindowGroupLimit" in plan_c
