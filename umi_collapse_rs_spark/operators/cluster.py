@@ -60,6 +60,7 @@ def propagate_min_label(
     edges: DataFrame,
     id_col: str = "url",
     max_iterations: int = 50,
+    jump_after: int = 2,
 ) -> DataFrame:
     """Min-label propagation over directed edges (src -> dst).
 
@@ -73,6 +74,15 @@ def propagate_min_label(
     Both steps preserve the invariant "label(n) reaches n", so the
     fixpoint is the true min over ancestors; pointer jumping makes deep
     chains converge in O(log depth) rounds.
+
+    ``jump_after``: rounds before the pointer jump engages.  Dedup
+    graphs are star-like after the directional gate (typical depth
+    2-3), so the early full-frontier rounds pay the label-table
+    self-join for nothing — skipping the jump there removes the most
+    expensive join of the two biggest rounds, while deep chains still
+    get O(log depth) convergence once the jump engages.  Exactness is
+    unaffected: both the gather and the jump only ever lower labels
+    toward the same fixpoint.
     """
     # DELTA (frontier) propagation: labels only ever decrease, so an
     # in-neighbor whose label did NOT change last round contributed its
@@ -92,7 +102,7 @@ def propagate_min_label(
     n_changed = -1
     frontier_bytes = -1
 
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         frontier = labels if changed is None else changed
         if 0 <= frontier_bytes < _BROADCAST_BYTES:
             frontier = F.broadcast(frontier)
@@ -107,24 +117,26 @@ def propagate_min_label(
             .groupBy("_nid")
             .agg(F.min("label").alias("label"), F.max("_old").alias("_old"))
         )
-        # pointer jump (label <- label(label)) for O(log depth) rounds
-        roots = combined.select(F.col("_nid").alias("_rid"), F.col("label").alias("_rlabel"))
-        jumped = (
-            combined.join(roots, combined["label"]["lid"] == roots["_rid"], "left")
-            .select(
+        if it >= jump_after:
+            # pointer jump (label <- label(label)) for O(log depth) rounds
+            roots = combined.select(
+                F.col("_nid").alias("_rid"), F.col("label").alias("_rlabel")
+            )
+            combined = combined.join(
+                roots, combined["label"]["lid"] == roots["_rid"], "left"
+            ).select(
                 "_nid",
                 F.least(F.col("label"), F.coalesce(F.col("_rlabel"), F.col("label"))).alias(
                     "label"
                 ),
                 "_old",
             )
-            # LAZY checkpoint: the stats agg below is the round's single
-            # action — it materializes the checkpoint blocks AND computes
-            # the convergence stats in one pass (the r2 shape ran an
-            # eager-checkpoint job plus a separate stats job per round,
-            # scanning the labels twice)
-            .localCheckpoint(eager=False)
-        )
+        # LAZY checkpoint: the stats agg below is the round's single
+        # action — it materializes the checkpoint blocks AND computes
+        # the convergence stats in one pass (the r2 shape ran an
+        # eager-checkpoint job plus a separate stats job per round,
+        # scanning the labels twice)
+        jumped = combined.localCheckpoint(eager=False)
         changed = jumped.filter(F.col("label") != F.col("_old")).select("_nid", "label")
         # one action per round: convergence count + observed id width
         # (drives the broadcast decision for the NEXT round's gather)
