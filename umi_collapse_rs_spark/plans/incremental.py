@@ -58,8 +58,9 @@ from umi_collapse_rs_spark.operators.candidates import (
 )
 from umi_collapse_rs_spark.operators.cluster import propagate_min_label
 from umi_collapse_rs_spark.operators.edges import (
+    candidate_pairs_with_dist,
     directional_edges,
-    union_pairs,
+    verify_pairs,
 )
 from umi_collapse_rs_spark.operators.exact import exact_collapse, with_norm
 
@@ -200,12 +201,17 @@ def incremental_assign(
         .select(
             F.col("probe_id").alias("rep_url"), "canonical_url", F.lit("near").alias("via")
         )
+        # cut: feeds both the residual anti-join and the rep_assign
+        # union — without it the whole probe join re-executes per
+        # consumer (the same fan-out trap the pipeline's stage
+        # materialization solves)
+        .localCheckpoint(eager=False)
     )
 
     # --- step 3: residual within-batch clustering -------------------
     fp_r = fp_n.join(near_hit.select(F.col("rep_url").alias("url")), "url", "left_anti")
     fp_r = fp_r.localCheckpoint(eager=False)  # feeds both candidate generators + verify
-    r_pairs = union_pairs(
+    candidates = candidate_pairs_with_dist(
         [
             simhash_band_pairs(
                 fp_r, cfg.hamming_k, cfg.simhash_bands, cfg.bucket_pair_cap, cfg.chain_width
@@ -213,7 +219,12 @@ def incremental_assign(
             minhash_lsh_pairs(fp_r, cfg.bucket_pair_cap, cfg.chain_width),
         ],
         fp_r,
-        cfg.jaccard_threshold,
+        # cut between candidate union and the two verify branches, and
+        # again after verify (pairs feed the gate, the node set, and the
+        # clustering loop) — mirrors the pipeline's s4/s5 stage cuts
+    ).localCheckpoint(eager=False)
+    r_pairs = verify_pairs(candidates, fp_r, cfg.jaccard_threshold).localCheckpoint(
+        eager=False
     )
     r_edges = directional_edges(r_pairs, fp_r, cfg.directional_p)
     r_nodes_in_pairs = (
@@ -234,7 +245,10 @@ def incremental_assign(
     )
 
     # --- assemble: one row per NEW page ------------------------------
-    rep_assign = sha_hit.unionByName(near_hit).unionByName(new_hit)
+    # cut: rep_assign feeds assignments + absorbed + new_sizes + sha_new
+    rep_assign = (
+        sha_hit.unionByName(near_hit).unionByName(new_hit).localCheckpoint(eager=False)
+    )
     assignments = (
         members_n.join(reps_n.select("text_sha", F.col("url").alias("rep_url")), "text_sha")
         .join(rep_assign, "rep_url")
