@@ -168,6 +168,14 @@ stages per phase; local[32], warm JVM.
 - full-rerun / incremental shuffle bytes: **{result['shuffle_ratio_full_over_incremental']}x**
 - full-rerun / incremental input bytes: **{result['input_ratio_full_over_incremental']}x**
 
+At a corpus/batch ratio of {args.n_pages / n_batch:.1f}x the
+incremental path already reads {result['input_ratio_full_over_incremental']}x
+fewer bytes (it reads compact state tables — sha index + canonical
+fingerprints — not raw pages, so the input ratio EXCEEDS the corpus
+ratio) and shuffles {result['shuffle_ratio_full_over_incremental']}x fewer.
+Both ratios grow linearly with corpus/batch: the rerun's bytes are
+O(corpus), the batch path's are O(batch).
+
 Why bytes and not wall: at the 150k bench tier fixed JVM/stage
 overheads compress the wall gap; the byte ratios are what scale.  The
 incremental phase's bytes are O(batch + state-probe) and independent
