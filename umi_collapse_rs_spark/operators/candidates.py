@@ -53,6 +53,7 @@ def _lead_expanded_pairs(
     order_col: str,
     cap: int,
     chain_width: int,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """The single-Exchange / single-WindowExec lead() pair expansion —
     THE shared core of every bucket-pair generator (plan invariant
@@ -77,12 +78,14 @@ def _lead_expanded_pairs(
             for j in range(1, n_leads + 1)
         ]
     )
+    keep = list(keep_cols or [])
     sized = bucketed.select(
+        *keep,
         F.col(id_col).alias("_src0"),
         F.count(F.lit(1)).over(full).alias("_bsz"),
         nbrs.alias("_nbrs"),
     ).filter(F.col("_bsz") > 1)
-    kept = sized.select("_src0", "_bsz", F.explode("_nbrs").alias("_n")).filter(
+    kept = sized.select(*keep, "_src0", "_bsz", F.explode("_nbrs").alias("_n")).filter(
         F.col("_n.nbr").isNotNull()
         & ((F.col("_bsz") <= cap) | (F.col("_n.j") <= chain_width))
     )
@@ -90,6 +93,7 @@ def _lead_expanded_pairs(
         F.least("_src0", F.col("_n.nbr")).alias("src"),
         F.greatest("_src0", F.col("_n.nbr")).alias("dst"),
         (F.col("_bsz") > cap).alias("_hot"),
+        *keep,
     )
 
 
@@ -100,21 +104,28 @@ def _bucket_pairs_with_hot(
     order_col: str,
     cap: int,
     chain_width: int,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(src, dst, _hot) pairs under both cap regimes.
+    """(src, dst, _hot[, *keep_cols]) pairs under both cap regimes.
 
     cap small enough for lead() plan width -> the single-pass window
     expansion.  Essentially-uncapped caps (oracle / brute-force parity
     runs) -> a bucket equi-self-join for small buckets (quadratic per
     bucket — exactly what the caller asked for), with buckets beyond
     even that cap still chained via the lead path (_hot=True).
+
+    ``keep_cols`` (a subset of bucket_cols, constant per bucket) are
+    carried through to the output — bucket provenance for callers that
+    tag pair evidence by bucket kind.
     """
+    keep = list(keep_cols or [])
     chain_width = max(1, min(chain_width, _MAX_LEADS))
     if cap - 1 > _MAX_LEADS:
         wq = Window.partitionBy(*bucket_cols)
         sized = bucketed.withColumn("_bsz", F.count(F.lit(1)).over(wq))
         small = sized.filter((F.col("_bsz") > 1) & (F.col("_bsz") <= cap))
-        a = small.select(*bucket_cols, F.col(id_col).alias("_ida"))
+        extra = [k for k in keep if k not in bucket_cols]
+        a = small.select(*bucket_cols, *extra, F.col(id_col).alias("_ida"))
         b = small.select(*bucket_cols, F.col(id_col).alias("_idb"))
         small_pairs = (
             a.join(b, bucket_cols)
@@ -123,14 +134,18 @@ def _bucket_pairs_with_hot(
                 F.col("_ida").alias("src"),
                 F.col("_idb").alias("dst"),
                 F.lit(False).alias("_hot"),
+                *keep,
             )
         )
         hot = sized.filter(F.col("_bsz") > cap).drop("_bsz")
         hot_pairs = _lead_expanded_pairs(
-            hot, bucket_cols, id_col, order_col, chain_width + 1, chain_width
-        ).select("src", "dst", F.lit(True).alias("_hot"))
+            hot, bucket_cols, id_col, order_col, chain_width + 1, chain_width,
+            keep_cols=keep,
+        ).select("src", "dst", F.lit(True).alias("_hot"), *keep)
         return small_pairs.unionByName(hot_pairs)
-    return _lead_expanded_pairs(bucketed, bucket_cols, id_col, order_col, cap, chain_width)
+    return _lead_expanded_pairs(
+        bucketed, bucket_cols, id_col, order_col, cap, chain_width, keep_cols=keep
+    )
 
 
 def pairs_from_buckets(
@@ -227,6 +242,66 @@ def minhash_lsh_pairs(
         exploded, ["band_idx", "band_val"], id_col, "simhash", cap, chain_width
     )
     return pairs.select("src", "dst", F.lit(None).cast("int").alias("dist"), F.lit("minhash").alias("source"))
+
+
+def combined_band_pairs(
+    fp: DataFrame,
+    sim_bands: int,
+    cap: int,
+    chain_width: int,
+    id_col: str = "url",
+) -> DataFrame:
+    """SimHash-piece AND MinHash-band candidate pairs in ONE exchange.
+
+    Semantically identical to
+    ``simhash_band_pairs UNION minhash_lsh_pairs`` but the kind-tagged
+    exploded rows (pieces idx 0..sim_bands-1, bands idx 64+j) go
+    through a single exchange + WindowExec instead of two, and the
+    simhash pairs skip their private fingerprint join + dedup — the
+    downstream union stage (edges.combined_candidates_with_dist) joins
+    fingerprints once for ALL pairs and applies the Hamming gate there,
+    using the provenance tag carried by ``keep_cols``.
+
+    Returns raw (src, dst, source) rows; a pair may appear once per
+    shared bucket — the union stage dedups once.
+    """
+    width = 64 // sim_bands
+    mask = (1 << width) - 1
+    pieces = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(sim_bands)
+        ]
+    )
+    sim = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.lit("simhash").alias("source"),
+        F.posexplode(pieces).alias("_bidx", "_bval"),
+    )
+    mh = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.lit("minhash").alias("source"),
+        F.posexplode("mh_bands").alias("_bidx0", "_bval"),
+    ).select(
+        id_col, "simhash", "source", (F.col("_bidx0") + 64).alias("_bidx"), "_bval"
+    )
+    exploded = sim.unionByName(mh)
+    # bucket key is (idx, val) only: piece idx 0..sim_bands-1 and band
+    # idx 64+j are disjoint, so the kind is implied by the idx and the
+    # string tag stays OUT of the window sort key (measured: sorting on
+    # the string column cost more than the exchange it saved); it rides
+    # along as a keep column, constant per bucket.
+    return _bucket_pairs_with_hot(
+        exploded,
+        ["_bidx", "_bval"],
+        id_col,
+        "simhash",
+        cap,
+        chain_width,
+        keep_cols=["source"],
+    ).select("src", "dst", "source")
 
 
 def cross_banded_pairs(

@@ -50,6 +50,48 @@ def candidate_pairs_with_dist(
     )
 
 
+def combined_candidates_with_dist(
+    pair_dfs: list[DataFrame],
+    fp: DataFrame,
+    hamming_k: int,
+    id_col: str = "url",
+) -> DataFrame:
+    """candidate_pairs_with_dist for RAW kind-tagged pair sources
+    (candidates.combined_band_pairs + the window pass): pairs arrive
+    un-verified, so the Hamming gate that simhash_band_pairs used to
+    apply privately happens HERE, on the single fingerprint join this
+    stage already does for dist annotation.
+
+    Exact-equivalence rule: 'simhash' counts as evidence only when
+    dist <= k — a piece-shared pair beyond the Hamming ball had its
+    simhash provenance dropped in the two-generator formulation (the
+    private filter removed it before the union), so it is stripped
+    here too; a pair whose remaining evidence set is empty is dropped.
+    Verify semantics downstream (verify_pairs) are unchanged.
+    """
+    all_pairs = pair_dfs[0]
+    for p in pair_dfs[1:]:
+        all_pairs = all_pairs.unionByName(p)
+    best = all_pairs.groupBy("src", "dst").agg(
+        F.array_sort(F.collect_set("source")).alias("sources"),
+    )
+    sh_a = fp.select(F.col(id_col).alias("src"), F.col("simhash").alias("_sh_a"))
+    sh_b = fp.select(F.col(id_col).alias("dst"), F.col("simhash").alias("_sh_b"))
+    with_dist = (
+        best.join(sh_a, "src")
+        .join(sh_b, "dst")
+        .withColumn("dist", F.bit_count(F.col("_sh_a").bitwiseXOR(F.col("_sh_b"))))
+        .drop("_sh_a", "_sh_b")
+    )
+    gated_sources = F.when(
+        F.col("dist") <= hamming_k, F.col("sources")
+    ).otherwise(F.array_remove("sources", "simhash"))
+    return (
+        with_dist.withColumn("sources", gated_sources)
+        .filter(F.size("sources") > 0)
+    )
+
+
 def verify_pairs(
     with_dist: DataFrame,
     fp: DataFrame,

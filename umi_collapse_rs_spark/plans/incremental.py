@@ -52,13 +52,12 @@ from pyspark.sql import functions as F
 
 from umi_collapse_rs_spark.config import DedupConfig
 from umi_collapse_rs_spark.operators.candidates import (
+    combined_band_pairs,
     cross_banded_pairs,
-    minhash_lsh_pairs,
-    simhash_band_pairs,
 )
 from umi_collapse_rs_spark.operators.cluster import propagate_min_label
 from umi_collapse_rs_spark.operators.edges import (
-    candidate_pairs_with_dist,
+    combined_candidates_with_dist,
     directional_edges,
     verify_pairs,
 )
@@ -211,14 +210,10 @@ def incremental_assign(
     # --- step 3: residual within-batch clustering -------------------
     fp_r = fp_n.join(near_hit.select(F.col("rep_url").alias("url")), "url", "left_anti")
     fp_r = fp_r.localCheckpoint(eager=False)  # feeds both candidate generators + verify
-    candidates = candidate_pairs_with_dist(
-        [
-            simhash_band_pairs(
-                fp_r, cfg.hamming_k, cfg.simhash_bands, cfg.bucket_pair_cap, cfg.chain_width
-            ),
-            minhash_lsh_pairs(fp_r, cfg.bucket_pair_cap, cfg.chain_width),
-        ],
+    candidates = combined_candidates_with_dist(
+        [combined_band_pairs(fp_r, cfg.simhash_bands, cfg.bucket_pair_cap, cfg.chain_width)],
         fp_r,
+        cfg.hamming_k,
         # cut between candidate union and the two verify branches, and
         # again after verify (pairs feed the gate, the node set, and the
         # clustering loop) — mirrors the pipeline's s4/s5 stage cuts

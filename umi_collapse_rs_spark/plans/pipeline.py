@@ -30,8 +30,7 @@ from pyspark.sql import functions as F
 from umi_collapse_rs_spark.config import DedupConfig
 from umi_collapse_rs_spark.functions.udfs import make_combined_fingerprint_udf
 from umi_collapse_rs_spark.operators.candidates import (
-    minhash_lsh_pairs,
-    simhash_band_pairs,
+    combined_band_pairs,
     window_overlap_pairs,
 )
 from umi_collapse_rs_spark.operators.canonical import build_clusters_table
@@ -41,7 +40,7 @@ from umi_collapse_rs_spark.operators.cluster import (
     propagate_min_label,
 )
 from umi_collapse_rs_spark.operators.edges import (
-    candidate_pairs_with_dist,
+    combined_candidates_with_dist,
     directional_edges,
     verify_pairs,
 )
@@ -147,20 +146,26 @@ def run_dedup_pipeline(
     # unioned + dedup'd + dist-annotated, MATERIALIZED before the verify
     # branches — verify splits into a passthrough branch and a
     # signature-join branch, and without a cut here Catalyst executes
-    # the whole candidate DAG once per branch (measured 2x stage cost)
+    # the whole candidate DAG once per branch (measured 2x stage cost).
+    # The sim+mh expansions ride ONE kind-tagged exchange + WindowExec
+    # (combined_band_pairs) and the Hamming gate moves to the union
+    # stage's single fingerprint join — byte-identical pair evidence to
+    # the two-generator formulation (combined_candidates_with_dist
+    # strips 'simhash' provenance beyond the Hamming ball exactly as
+    # the private filter used to).
     def build_candidates() -> DataFrame:
-        sim_pairs = simhash_band_pairs(
-            fp, cfg.hamming_k, cfg.simhash_bands, cfg.bucket_pair_cap, cfg.chain_width
-        )
-        mh_pairs = minhash_lsh_pairs(fp, cfg.bucket_pair_cap, cfg.chain_width)
-        sources = [sim_pairs, mh_pairs]
+        sources = [
+            combined_band_pairs(
+                fp, cfg.simhash_bands, cfg.bucket_pair_cap, cfg.chain_width
+            )
+        ]
         if cfg.window_tokens:
             sources.append(
                 window_overlap_pairs(
                     fp, cfg.min_shared_windows, cfg.bucket_pair_cap, cfg.chain_width
-                )
+                ).select("src", "dst", "source")
             )
-        return candidate_pairs_with_dist(sources, fp)
+        return combined_candidates_with_dist(sources, fp, cfg.hamming_k)
 
     candidates = ckpt.materialize("s4_candidates", build_candidates)
 
