@@ -116,3 +116,52 @@ def test_pairs_from_buckets_large_cap_self_join_path(spark):
 def test_singleton_buckets_produce_no_pairs(spark):
     df = spark.createDataFrame([(i, f"x{i}", i) for i in range(5)], "b int, id string, o long")
     assert pairs_from_buckets(df, ["b"], "id", "o", 10, 2).count() == 0
+
+
+def test_combined_band_pairs_equals_two_generator_form(spark, fixture_500):
+    """The single-exchange kind-tagged expansion + union-stage Hamming
+    gate must produce byte-identical pair evidence (src, dst, sources,
+    dist) to simhash_band_pairs UNION minhash_lsh_pairs under BOTH cap
+    regimes — the equivalence the pipeline's s4 rewrite rests on."""
+    from umi_collapse_rs_spark.config import DedupConfig
+    from umi_collapse_rs_spark.functions.udfs import make_combined_fingerprint_udf
+    from umi_collapse_rs_spark.operators.candidates import (
+        combined_band_pairs,
+        minhash_lsh_pairs,
+        simhash_band_pairs,
+    )
+    from umi_collapse_rs_spark.operators.edges import (
+        candidate_pairs_with_dist,
+        combined_candidates_with_dist,
+    )
+
+    cfg = DedupConfig()
+    pages, _ = fixture_500
+    reps, _ = exact_collapse(with_norm(pages))
+    udf = make_combined_fingerprint_udf(
+        cfg.shingle_k, cfg.minhash_perms, cfg.lsh_bands, cfg.hash_seed
+    )
+    fp = (
+        reps.select("url", "freq", udf("text_norm").alias("_fp"))
+        .select("url", "freq", "_fp.simhash", "_fp.mh_bands", "_fp.mh_sig")
+        .localCheckpoint()
+    )
+    for cap in (8, 10_000):
+        old = candidate_pairs_with_dist(
+            [
+                simhash_band_pairs(fp, cfg.hamming_k, cfg.simhash_bands, cap, cfg.chain_width),
+                minhash_lsh_pairs(fp, cap, cfg.chain_width),
+            ],
+            fp,
+        )
+        new = combined_candidates_with_dist(
+            [combined_band_pairs(fp, cfg.simhash_bands, cap, cfg.chain_width)],
+            fp,
+            cfg.hamming_k,
+        )
+        cols = ["src", "dst", "sources", "dist"]
+        o = old.select(*cols).toPandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        n = new.select(*cols).toPandas().sort_values(["src", "dst"]).reset_index(drop=True)
+        o["sources"] = o["sources"].map(tuple)
+        n["sources"] = n["sources"].map(tuple)
+        assert o.equals(n), f"pair evidence diverged at cap={cap}"
