@@ -75,7 +75,7 @@ def test_fit_ivf_centroids_improves_quantization():
     assert (X @ fitted.T).max(axis=1).mean() > (X @ rand.T).max(axis=1).mean()
 
 
-def test_fit_sample_cap_bounds_read():
+def test_fit_sample_cap_bounds_read(monkeypatch):
     # with a cap below the table size the fit still returns a valid
     # quantizer (stride sample is a pure function of the file)
     c = fit_ivf_centroids(SF01, n_centroids=4, sample_cap=100, iters=3)
@@ -84,8 +84,48 @@ def test_fit_sample_cap_bounds_read():
     np.testing.assert_array_equal(c, d)
 
 
+def test_fit_never_materializes_full_column(monkeypatch):
+    """ADVICE r3: the fit's I/O must be O(sample_cap), never a full-
+    column read.  Pin it: ParquetFile.read (the materialize-everything
+    API) must not be called, and only the strided rows may leave Arrow
+    memory."""
+    import pyarrow.parquet as pq
+
+    import umi_collapse_rs_spark.functions.embeddings as E
+
+    def forbidden_read(self, *a, **kw):  # pragma: no cover - must not run
+        raise AssertionError("full-column ParquetFile.read in the fit path")
+
+    rows_converted: list[int] = []
+
+    class NPSpy:
+        def __getattr__(self, name):
+            return getattr(np, name)
+
+        def asarray(self, obj, *a, **kw):
+            if isinstance(obj, list):
+                rows_converted.append(len(obj))
+            return np.asarray(obj, *a, **kw)
+
+    monkeypatch.setattr(pq.ParquetFile, "read", forbidden_read)
+    monkeypatch.setattr(E, "np", NPSpy())
+    cap = 100
+    c = fit_ivf_centroids(SF01, n_centroids=4, sample_cap=cap, iters=2)
+    assert c.shape == (4, 64)
+    # exactly the strided sample left Arrow memory, never the column
+    assert sum(rows_converted) == cap
+
+
 def test_auto_planes_guardrail():
     with pytest.raises(ValueError, match="n_planes|n_rows"):
         from umi_collapse_rs_spark.functions.embeddings import hyperplane_lsh_topk
 
         hyperplane_lsh_topk(None, "id", "emb")  # neither n_planes nor n_rows
+    # the oracle generator mirrors the same guard (ADVICE r3: the
+    # no-arg call used to die as TypeError(None/64) inside auto_n_planes)
+    with pytest.raises(ValueError, match="n_planes|n_rows"):
+        from umi_collapse_rs_spark.functions.embeddings import (
+            hyperplane_lsh_topk_oracle_sql,
+        )
+
+        hyperplane_lsh_topk_oracle_sql()

@@ -128,22 +128,32 @@ def sample_video_frames(data: bytes, max_frames: int, fake: bool = False) -> lis
         ) from e
     import io
 
+    # Two passes, both O(1) frames in memory (ADVICE r3: the old form
+    # retained every decoded keyframe before sampling — unbounded in
+    # video length).  Pass 1 DEMUXES packets only (no decode) to count
+    # keyframes; pass 2 decodes keyframes one at a time, hashing and
+    # dropping each picked frame immediately and stopping after the
+    # last pick.
     with av.open(io.BytesIO(data)) as container:
         stream = container.streams.video[0]
-        # keyframes only: seek-friendly sampling that never decodes the
-        # whole GOP structure of a long video
-        stream.codec_context.skip_frame = "NONKEY"
-        keyframes = [f for f in container.decode(stream)]
-    if not keyframes:
+        n = sum(1 for p in container.demux(stream) if p.is_keyframe)
+    if n == 0:
         return []
     # evenly-spaced <= max_frames of the keyframes, deterministic
-    n = len(keyframes)
+    # (same pick indices as the old materialize-then-sample form)
     take = min(max_frames, n)
-    picks = [(i * n) // take for i in range(take)]
-    out = []
-    for p in picks:
-        arr = keyframes[p].to_ndarray(format="rgb24")
-        out.append(hashlib.sha256(arr.tobytes()).hexdigest())
+    picks = {(i * n) // take for i in range(take)}
+    last = max(picks)
+    out: list[str] = []
+    with av.open(io.BytesIO(data)) as container:
+        stream = container.streams.video[0]
+        stream.codec_context.skip_frame = "NONKEY"
+        for ki, frame in enumerate(container.decode(stream)):
+            if ki in picks:
+                arr = frame.to_ndarray(format="rgb24")
+                out.append(hashlib.sha256(arr.tobytes()).hexdigest())
+            if ki >= last:
+                break
     return out
 
 
