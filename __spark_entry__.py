@@ -498,6 +498,25 @@ def q_dedup_clusters(spark, sf_dir, algo: str = "dir"):
     return res.clusters
 
 
+def q_canonical_pages(spark, sf_dir):
+    """The pipeline's canonical_pages output (stage 7 -> 9): one row
+    per cluster, the kept representative page with its text re-read
+    from the source scan (reference analog: the BAM sink writes only
+    surviving reads, deduplicate_sam.rs:339-413).  text_fp = sha256 of
+    the re-read text pins the byte-identical per-url invariant through
+    the output join; the oracle recomputes the full dir closure and the
+    same join (r3 verdict item #7: the clusters table was hash-checked,
+    this output join was previously pytest-only)."""
+    from umi_collapse_rs_spark.config import DedupConfig
+    from umi_collapse_rs_spark.plans.pipeline import run_dedup_pipeline
+
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_dedup_pipeline(spark, pages, DedupConfig(algo="dir", **_SQL_PIPELINE_CFG))
+    return res.canonical_pages.select(
+        "url", "cluster_id", "cluster_size", F.sha2("text", 256).alias("text_fp")
+    )
+
+
 def q_dedup_clusters_numpy(spark, sf_dir):
     """bench.py twin of q_dedup_clusters in PRODUCTION fingerprint mode
     (numpy pandas-UDF, default DedupConfig) — deliberately NOT in
@@ -714,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_fingerprints": q_simhash_fingerprints,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "canonical_pages": q_canonical_pages,
         "dedup_clusters_cc": q_dedup_clusters_cc,
         "dedup_clusters_adj": q_dedup_clusters_adj,
         "near_dup_pairs": q_near_dup_pairs,
@@ -737,6 +757,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_rule_quality": oracles.merge_rule_oracle_sql("quality"),
         "merge_rule_any": oracles.merge_rule_oracle_sql("any"),
         "dedup_clusters": oracles.dedup_clusters_oracle_sql("dir"),
+        "canonical_pages": oracles.canonical_pages_oracle_sql(),
         "dedup_clusters_cc": oracles.dedup_clusters_oracle_sql("cc"),
         "dedup_clusters_adj": oracles.dedup_clusters_oracle_sql("adj"),
         "near_dup_pairs": oracles.near_dup_pairs_oracle_sql(),

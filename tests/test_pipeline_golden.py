@@ -93,3 +93,26 @@ def test_edge_rows_survive(pipeline_500):
     urls = [f"https://site{(i * 7919) % 97}.example/p{i:07d}" for i in range(490, 500)]
     got = clusters[clusters.url.isin(urls)]
     assert len(got) == 10
+
+
+def test_dense_cluster_ids_match_sha_partition(pipeline_500):
+    """SURVEY §2 C4 dense-id variant (canonical.with_dense_cluster_ids):
+    ids are exactly 0..n_clusters-1 and induce the SAME partition of
+    urls as the default sha-derived ids (a pure relabeling of the
+    reference's running-offset ClusterTracker id space)."""
+    from umi_collapse_rs_spark.operators.canonical import with_dense_cluster_ids
+
+    res = pipeline_500["res"]
+    dense = with_dense_cluster_ids(res.clusters).toPandas()
+    sha = pipeline_500["clusters"]
+    n = sha["cluster_id"].nunique()
+    assert sorted(dense["cluster_id"].unique()) == list(range(n))
+    # same partition: the (sha_id -> dense_id) mapping is a bijection
+    merged = sha[["url", "cluster_id"]].merge(
+        dense[["url", "cluster_id"]], on="url", suffixes=("_sha", "_dense")
+    )
+    assert len(merged) == len(sha)
+    g = merged.groupby("cluster_id_sha")["cluster_id_dense"].nunique()
+    assert (g == 1).all()
+    g2 = merged.groupby("cluster_id_dense")["cluster_id_sha"].nunique()
+    assert (g2 == 1).all()

@@ -14,16 +14,34 @@ re-partitioning, unlike ``monotonically_increasing_id`` (SURVEY §4
 explicitly forbids it), and — unlike the previous ``xxhash64`` — bit-
 reproducible by the DuckDB correctness oracle.  The reference's *dense*
 running-offset ids (cluster_tracker.rs / deduplicate_sam.rs:215) are an
-artifact of its serial loop; a dense variant is available via
-dense_rank for tests but is a global sort — not the default at scale.
+artifact of its serial loop; the dense variant
+(:func:`with_dense_cluster_ids`) exists for tests/exports but is a
+global sort — not the default at scale.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from umi_collapse_rs_spark.functions.sqlfp import hash64_col
+
+
+def with_dense_cluster_ids(clusters: DataFrame) -> DataFrame:
+    """Replace the sha-derived ``cluster_id`` with dense 0..n-1 ids —
+    the reference's running-offset id space (``ClusterTracker`` dense
+    ids, cluster_tracker.rs:61-74, offset at deduplicate_sam.rs:215).
+
+    ``dense_rank`` over ``canonical_url`` (the cluster key) minus 1:
+    deterministic, contiguous, and a pure relabeling — the partition
+    induced by the dense ids is identical to the sha-id partition by
+    construction.  The unpartitioned window is a GLOBAL sort, which is
+    why this is an export/test helper, not the pipeline default
+    (SURVEY §2 C4)."""
+    w = Window.orderBy("canonical_url")
+    return clusters.withColumn(
+        "cluster_id", (F.dense_rank().over(w) - 1).cast("long")
+    )
 
 
 def build_clusters_table(

@@ -198,6 +198,62 @@ def dedup_clusters_oracle_sql(algo: str) -> str:
     )
 
 
+def canonical_pages_oracle_sql() -> str:
+    """Canonical-pages output (plans/pipeline.py stage 7 -> 9 join):
+    exactly one row per cluster — the canonical url, its sha-derived
+    cluster id, the cluster size, and sha256 of the text RE-READ from
+    the source pages (pinning the byte-identical per-url invariant
+    through the output join).  Shares the full dir-closure machinery
+    with dedup_clusters_oracle_sql; only the final assembly differs."""
+    edges = """
+        gated AS (
+            SELECT src, dst FROM verified
+            WHERE dist = 0 OR f_dst <= floor(0.5 * (f_src + 1))
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM verified
+            WHERE dist = 0 OR f_src <= floor(0.5 * (f_dst + 1))
+        )"""
+    closure = """
+        reach AS (
+            SELECT url AS n, url AS anc FROM keys
+            UNION
+            SELECT r.n, e.src AS anc
+            FROM reach r JOIN gated e ON e.dst = r.anc
+        ),
+        roots AS (
+            SELECT r.n AS url, min_by(r.anc, k2.k) AS root_id
+            FROM reach r JOIN keys k2 ON k2.url = r.anc
+            GROUP BY r.n
+        )"""
+    final = f"""
+        rep_assign AS (
+            SELECT r.text_sha, r.freq,
+                   coalesce(ro.root_id, r.url) AS canonical_url
+            FROM reps r LEFT JOIN roots ro ON ro.url = r.url
+        ),
+        csz AS (
+            SELECT canonical_url, sum(freq)::BIGINT AS cluster_size
+            FROM rep_assign GROUP BY 1
+        )
+        SELECT c.canonical_url AS url,
+               {hash64_sql('c.canonical_url')} AS cluster_id,
+               c.cluster_size,
+               sha256(p.text) AS text_fp
+        FROM csz c JOIN pages p ON p.url = c.canonical_url"""
+    return (
+        "WITH RECURSIVE "
+        + _prefix()
+        + ","
+        + edges
+        + ","
+        + _NODES_KEYS_SQL
+        + ","
+        + closure
+        + ","
+        + final
+    )
+
+
 def _adj_oracle_sql() -> str:
     """One-hop greedy adjacency via frontier peeling in a recursive CTE.
 
