@@ -613,14 +613,22 @@ def q_substring_overlap_pairs(spark, sf_dir):
 
 
 def q_embedding_multitable_ann(spark, sf_dir):
-    """Similarity search, multi-table variant: 16 independent 6-plane
-    hyperplane-LSH tables, per-(table, bucket) neighbor caps, pair dedup
-    before the exact-cosine re-rank — the recall-robust bounded-candidate
-    config (BENCH/ANN.md; functions/embeddings.multitable_lsh_topk)."""
-    from umi_collapse_rs_spark.functions.embeddings import multitable_lsh_topk
+    """Similarity search, multi-table variant: 16 independent
+    hyperplane-LSH tables whose per-table plane count auto-scales to
+    the corpus by the same occupancy rule as the single-table path
+    (log2(n / bucket_cap) from parquet footer metadata — r3 verdict
+    item #5: the fixed 6 planes left buckets far under the cap at
+    sf0.01, wasting the probe budget), per-(table, bucket) neighbor
+    caps, pair dedup before the exact-cosine re-rank (BENCH/ANN.md;
+    functions/embeddings.multitable_lsh_topk)."""
+    from umi_collapse_rs_spark.functions.embeddings import (
+        multitable_lsh_topk,
+        parquet_num_rows,
+    )
 
     e = _t(spark, sf_dir, "embeddings")
-    return multitable_lsh_topk(e, "vec_id", "embedding")
+    n = parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    return multitable_lsh_topk(e, "vec_id", "embedding", n_rows=n)
 
 
 def q_embedding_ivf_ann(spark, sf_dir):
@@ -750,7 +758,8 @@ def oracle_sql() -> dict[str, str]:
     from umi_collapse_rs_spark import oracles
     from umi_collapse_rs_spark.functions import embeddings as _embeddings
 
-    return {
+    out = _data_dependent_oracles()
+    out.update({
         "simhash_fingerprints": oracles.simhash_fingerprints_oracle_sql(),
         "minhash_lsh_pairs": oracles.minhash_lsh_pairs_oracle_sql(),
         "merge_rule_earliest": oracles.merge_rule_oracle_sql("earliest"),
@@ -954,24 +963,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "embedding_near_dup_pairs": _embeddings.lsh_blocked_near_dup_oracle_sql(0.35),
-        # the driver compares Spark vs oracle at sf=0.01, so the
-        # data-dependent ANN configs (auto plane count, fitted
-        # centroids) are derived here from the SAME sf0.01 parquet file
-        # the Spark queries read — identical deterministic inputs on
-        # both sides
-        "embedding_lsh_ann": _embeddings.hyperplane_lsh_topk_oracle_sql(
-            n_rows=_embeddings.parquet_num_rows(
-                "/root/testdata/sf0.01/embeddings.parquet"
-            ),
-            probe_hamming=2,
-        ),
-        "embedding_multitable_ann": _embeddings.multitable_lsh_topk_oracle_sql(),
         "embedding_ivf_ann": _embeddings.ivf_topk_oracle_sql(),
-        "embedding_ivf_fitted_ann": _embeddings.ivf_topk_oracle_sql(
-            centroids=_embeddings.fit_ivf_centroids(
-                "/root/testdata/sf0.01/embeddings.parquet"
-            )
-        ),
         "cosine_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
             pairs AS (
@@ -991,4 +983,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT qid, vec_id AS neighbor_id, round(sim, 4) AS cos_sim, rnk
             FROM ranked WHERE rnk <= 3
         """,
+    })
+    return out
+
+
+def _data_dependent_oracles() -> dict[str, str]:
+    """ANN oracle entries whose SQL embeds data-derived literals (auto
+    plane counts, fitted k-means centroids).  The driver compares Spark
+    vs oracle at sf=0.01, so these are derived from the SAME parquet
+    file the Spark queries read at that sf — resolved from
+    SPARK_GRAFT_ORACLE_SF_DIR (default the driver's /root/testdata/
+    sf0.01) instead of a hardcoded path, and SKIPPED (the driver then
+    records a rows-only check) rather than crashing the whole registry
+    when the fixture is absent on this host (ADVICE r3: building the
+    dict for ANY query used to do file I/O + a 20-iteration k-means fit
+    against a hardcoded absolute path)."""
+    import os
+
+    from umi_collapse_rs_spark.functions import embeddings as _embeddings
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    if not os.path.exists(emb_path):
+        return {}
+    n = _embeddings.parquet_num_rows(emb_path)
+    return {
+        "embedding_lsh_ann": _embeddings.hyperplane_lsh_topk_oracle_sql(
+            n_rows=n, probe_hamming=2
+        ),
+        "embedding_multitable_ann": _embeddings.multitable_lsh_topk_oracle_sql(
+            n_rows=n
+        ),
+        "embedding_ivf_fitted_ann": _embeddings.ivf_topk_oracle_sql(
+            centroids=_embeddings.fit_ivf_centroids(emb_path)
+        ),
     }

@@ -183,7 +183,7 @@ def test_ann_scoring_parallelism_is_pinned(spark):
         fitted,
         hyperplane_lsh_topk(e, "vec_id", "embedding", n_planes=6),
         lsh_blocked_near_dup_pairs(e, "vec_id", "embedding", threshold=0.35),
-        multitable_lsh_topk(e, "vec_id", "embedding", n_tables=4),
+        multitable_lsh_topk(e, "vec_id", "embedding", n_tables=4, n_rows=100),
     ):
         plan = _plan(df)
         assert "REPARTITION_BY_NUM" in plan

@@ -1,0 +1,213 @@
+"""Log-structured state store (plans/state_store.py): O(batch) commit
+sizes, atomic manifest protocol (a kill between ANY two steps leaves a
+readable state — r3 verdict item #2), compaction, fold-read
+equivalence with the in-memory state_out, and multi-batch chaining
+through disk."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from umi_collapse_rs_spark.config import DedupConfig
+from umi_collapse_rs_spark.plans.incremental import (
+    build_state,
+    incremental_assign,
+)
+from umi_collapse_rs_spark.plans.pipeline import run_dedup_pipeline
+from umi_collapse_rs_spark.plans.state_store import StateStore
+
+CFG = DedupConfig(window_tokens=0)
+
+
+def _canon_pdf(df):
+    pdf = df.toPandas()
+    for c in ("mh_bands", "mh_sig"):
+        pdf[c] = pdf[c].map(tuple)
+    return pdf.sort_values("url").reset_index(drop=True)
+
+
+def _sha_pdf(df):
+    return (
+        df.toPandas().sort_values(["text_sha", "canonical_url"]).reset_index(drop=True)
+    )
+
+
+def _assert_states_equal(a, b):
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(_sha_pdf(a.sha_index), _sha_pdf(b.sha_index))
+    pd.testing.assert_frame_equal(_canon_pdf(a.canonicals), _canon_pdf(b.canonicals))
+
+
+@pytest.fixture(scope="module")
+def st(spark, fixture_500, tmp_path_factory):
+    """Bootstrap a store from the 400-page old half, keep the 100-page
+    new half + its computed delta around (NOT yet committed)."""
+    pages, _ = fixture_500
+    is_new = F.substring("url", -1, 1).isin("3", "7")
+    old, new = pages.filter(~is_new), pages.filter(is_new)
+    state = build_state(run_dedup_pipeline(spark, old, CFG))
+    root = str(tmp_path_factory.mktemp("state")) + "/state"
+    store = StateStore(spark, root)
+    bm = store.bootstrap(state)
+    inc = incremental_assign(spark, store.read(), new, CFG)
+    return {
+        "store": store,
+        "root": root,
+        "state": state,
+        "new": new,
+        "inc": inc,
+        "bootstrap_manifest": bm,
+        "assign": inc.assignments.toPandas(),
+    }
+
+
+def test_bootstrap_read_roundtrip(st):
+    _assert_states_equal(st["store"].read(), st["state"])
+    m = st["store"].manifest()
+    assert m["version"] == 1 and m["segments"] == []
+
+
+def test_kill_after_segment_data_before_manifest(st):
+    """Crash window #1: segment data fully written, manifest not yet
+    committed.  The previous state stays current; startup gc() drops
+    the orphan; the state is STILL readable after gc."""
+    store, inc = st["store"], st["inc"]
+    pre = _sha_pdf(store.read().sha_index)
+    store._write_segment(inc.delta, "seg-99999999")  # simulated kill point
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(_sha_pdf(store.read().sha_index), pre)
+    removed = store.gc()
+    assert "seg-99999999" in removed
+    pd.testing.assert_frame_equal(_sha_pdf(store.read().sha_index), pre)
+
+
+def test_kill_during_manifest_staging(st, tmp_path):
+    """Crash window #2: a stranded manifest .tmp file is ignored by
+    readers and removed by gc()."""
+    store = st["store"]
+    v_before = store.manifest()["version"]
+    tmp = f"{store.root}/manifest/.tmp-stranded"
+    out = store._fs.create(store._Path(tmp), False)
+    out.write(bytearray(b"{garbage"))
+    out.close()
+    assert store.manifest()["version"] == v_before
+    removed = store.gc()
+    assert "manifest/.tmp-stranded" in removed
+
+
+def test_commit_delta_then_read_equals_inmemory_fold(st):
+    """THE equivalence: fold-on-read of (base + segment) must equal the
+    in-memory state_out the assignment plan produced.  Also pins the
+    O(batch) write: the commit writes one segment whose bytes are a
+    small fraction of the base, and the base dir is untouched."""
+    store, inc = st["store"], st["inc"]
+    base_dir = f"{store.root}/{store.manifest()['base']}"
+    base_listing = sorted(
+        s.getPath().getName() + ":" + str(s.getModificationTime())
+        for s in store._fs.listStatus(store._Path(f"{base_dir}/sha_index"))
+    )
+    m = store.commit_delta(inc.delta)
+    assert m["version"] == 2 and len(m["segments"]) == 1
+    # base untouched — appends never rewrite existing data
+    assert base_listing == sorted(
+        s.getPath().getName() + ":" + str(s.getModificationTime())
+        for s in store._fs.listStatus(store._Path(f"{base_dir}/sha_index"))
+    )
+    # the segment carries exactly the delta rows
+    seg = m["segments"][0]
+    sp = store.spark
+    assert sp.read.parquet(f"{store.root}/{seg}/sha_new").count() == inc.delta.sha_new.count()
+    assert (
+        sp.read.parquet(f"{store.root}/{seg}/freq_delta").count()
+        == inc.delta.freq_delta.count()
+    )
+    _assert_states_equal(store.read(), inc.state_out)
+    assert m["bytes_written"] < st["bootstrap_manifest"]["bytes_written"]
+
+
+def test_chain_second_batch_through_disk(spark, st):
+    """Batch 2 (re-fetches of batch-1 pages) assigned against the
+    FOLDED on-disk state matches the in-memory chain: exact hits land
+    on the batch-1 canonicals recorded in the committed segment."""
+    store, inc1 = st["store"], st["inc"]
+    batch2 = (
+        st["new"]
+        .orderBy("url")
+        .limit(3)
+        .select(
+            F.concat(F.lit("refetch-"), F.col("url")).alias("url"),
+            (F.col("warc_ts") + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+            "html",
+            "text",
+            "lang",
+        )
+    )
+    inc2_disk = incremental_assign(spark, store.read(), batch2, CFG)
+    inc2_mem = incremental_assign(spark, inc1.state_out, batch2, CFG)
+    import pandas as pd
+
+    a, b = (
+        x.assignments.toPandas().sort_values("url").reset_index(drop=True)
+        for x in (inc2_disk, inc2_mem)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["via"] == "exact").all()
+    m2 = store.commit_delta(inc2_disk.delta)
+    assert len(m2["segments"]) == 2
+    _assert_states_equal(store.read(), inc2_mem.state_out)
+
+
+def test_kill_mid_compaction_previous_state_survives(st):
+    """Crash window #3: a new base fully written but the manifest not
+    committed — readers still see the folded log; gc() drops the
+    orphan base."""
+    store = st["store"]
+    pre_sha = _sha_pdf(store.read().sha_index)
+    state = store.read()
+    orphan = "base-g77777777"
+    state.sha_index.write.parquet(f"{store.root}/{orphan}/sha_index")
+    state.canonicals.write.parquet(f"{store.root}/{orphan}/canonicals")
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(_sha_pdf(store.read().sha_index), pre_sha)
+    assert orphan in store.gc()
+
+
+def test_compact_preserves_state_and_empties_log(st):
+    store = st["store"]
+    before_sha = _sha_pdf(store.read().sha_index)
+    before_canon = _canon_pdf(store.read().canonicals)
+    old_segs = store.manifest()["segments"]
+    assert old_segs  # the chain test committed segments
+    m = store.compact(gc=True)
+    assert m["segments"] == []
+    assert set(old_segs) <= set(m["gc_removed"])
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(_sha_pdf(store.read().sha_index), before_sha)
+    pd.testing.assert_frame_equal(_canon_pdf(store.read().canonicals), before_canon)
+    # compacted base folds the freq deltas in — no freq_delta dirs remain
+    assert not [d for d in store._listdir(store.root) if d.startswith("seg-")]
+
+
+def test_legacy_flat_layout_read(spark, st, tmp_path):
+    """Pre-store flat dirs (<root>/sha_index + <root>/canonicals) stay
+    readable — migration is 'bootstrap once from the legacy read'."""
+    root = str(tmp_path / "legacy")
+    st["state"].sha_index.write.parquet(f"{root}/sha_index")
+    st["state"].canonicals.write.parquet(f"{root}/canonicals")
+    store = StateStore(spark, root)
+    assert store.exists() and store.manifest() is None
+    _assert_states_equal(store.read(), st["state"])
+
+
+def test_read_before_bootstrap_raises(spark, tmp_path):
+    store = StateStore(spark, str(tmp_path / "nope"))
+    assert not store.exists()
+    with pytest.raises(RuntimeError, match="no committed state"):
+        store.read()
+    with pytest.raises(RuntimeError, match="before bootstrap"):
+        store.compact()

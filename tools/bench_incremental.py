@@ -1,20 +1,32 @@
 #!/usr/bin/env python3
-"""Incremental-vs-full-rerun evidence (BENCH/INCREMENTAL.md).
+"""Incremental-dedup evidence (BENCH/INCREMENTAL.md): O(batch) work AND
+O(batch) state writes per snapshot, over a multi-batch chain.
 
-The incremental claim is O(batch) work per snapshot instead of
-O(corpus): wall time at the 150k-page bench tier understates the gap
-(fixed JVM/stage overheads dominate small runs), so this harness
-measures what actually scales — BYTES: input read and shuffle write,
-per phase, from the Spark UI REST API (/api/v1/applications/.../stages).
+The incremental claim has two halves:
 
-Phases:
-  bootstrap    full pipeline over the corpus + state write  (one-time)
-  incremental  assign a batch (10% recrawls + fresh docs) against the
-               persisted state, state reloaded from parquet
-  full_rerun   full pipeline over corpus+batch — what a non-incremental
-               deployment would run per snapshot
+1. **compute**: assigning a batch reads/shuffles O(batch + state-probe)
+   bytes, not O(corpus) — measured from the Spark UI REST API
+   (/api/v1/applications/.../stages) as input/shuffle bytes per phase,
+   vs a full rerun over corpus+batches.
+2. **persistence** (r3 verdict item #1): each batch commits ONE delta
+   segment through the log-structured store (plans/state_store.py) —
+   measured as actual bytes written per commit, which must stay flat
+   across the chain while the corpus-sized base does not get rewritten.
 
-Usage: python tools/bench_incremental.py [n_pages] [--report]
+Chain shape: the seed-42 fixture split by the url's last digit —
+digits 0-8 form the corpus (90%), digit 9 is sliced by its SECOND-last
+digit into 5 batches of ~2% each (corpus/batch ~ 45).  Planted dup
+groups are contiguous url runs, so digit slicing scatters every batch
+across groups: each batch carries natural exact- and near-cross pages.
+
+After the chain, the final incremental state is compared against a
+full rerun over corpus + all batches: for every batch page, does the
+rerun put it in the same cluster as its incrementally-assigned
+canonical?  The disagreement rate quantifies the documented one-hop
+"state wins" divergence (plans/incremental.py docstring) — asserted
+since r3, measured here.
+
+Usage: python tools/bench_incremental.py [n_pages] [--batches 5] [--report]
 """
 
 from __future__ import annotations
@@ -22,6 +34,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 import time
 import urllib.request
@@ -45,6 +58,7 @@ def _totals(port: int) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("n_pages", nargs="?", type=int, default=150_000)
+    ap.add_argument("--batches", type=int, default=5)
     ap.add_argument("--report", action="store_true", help="write BENCH/INCREMENTAL.md")
     args = ap.parse_args()
 
@@ -53,12 +67,9 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from umi_collapse_rs_spark.config import DedupConfig
-    from umi_collapse_rs_spark.plans.incremental import (
-        DedupState,
-        build_state,
-        incremental_assign,
-    )
+    from umi_collapse_rs_spark.plans.incremental import build_state, incremental_assign
     from umi_collapse_rs_spark.plans.pipeline import run_dedup_pipeline
+    from umi_collapse_rs_spark.plans.state_store import StateStore
     from umi_collapse_rs_spark.session import get_spark
 
     port = 4049
@@ -67,124 +78,198 @@ def main() -> int:
         extra_conf={"spark.ui.enabled": "true", "spark.ui.port": str(port)},
     )
     cfg = DedupConfig()
-    corpus_path = _fixture_parquet(args.n_pages)
-    corpus = spark.read.parquet(corpus_path)
+    fixture = spark.read.parquet(_fixture_parquet(args.n_pages))
+    last, last2 = F.substring("url", -1, 1), F.substring("url", -2, 1)
+    corpus = fixture.filter(last != "9")
+    batches = [
+        fixture.filter((last == "9") & (last2.cast("int") % args.batches == k))
+        for k in range(args.batches)
+    ]
 
     # warmup (JVM codegen + python worker fork, same rationale as bench.py)
     run_dedup_pipeline(spark, spark.read.parquet(_fixture_parquet(2_000)), cfg).clusters.count()
 
-    phases: dict[str, dict] = {}
-
-    def phase(name: str, fn) -> None:
-        before, t0 = _totals(port), time.monotonic()
-        out = fn()
-        wall = time.monotonic() - t0
-        after = _totals(port)
-        phases[name] = {
-            "wall_sec": round(wall, 2),
-            **{k: after[k] - before[k] for k in before},
-            **(out or {}),
-        }
-
     state_dir = f"/tmp/ucs_inc_state_{args.n_pages}"
+    shutil.rmtree(state_dir, ignore_errors=True)
+    store = StateStore(spark, state_dir)
+
+    def measured(fn) -> dict:
+        before, t0 = _totals(port), time.monotonic()
+        out = fn() or {}
+        out["wall_sec"] = round(time.monotonic() - t0, 2)
+        after = _totals(port)
+        out.update({k: after[k] - before[k] for k in before})
+        return out
 
     def bootstrap():
         res = run_dedup_pipeline(spark, corpus, cfg)
-        st = build_state(res)
-        st.sha_index.write.mode("overwrite").parquet(f"{state_dir}/sha_index")
-        st.canonicals.write.mode("overwrite").parquet(f"{state_dir}/canonicals")
-        return {"clusters": spark.read.parquet(f"{state_dir}/canonicals").count()}
+        m = store.bootstrap(build_state(res))
+        return {
+            "clusters": store.read().canonicals.count(),
+            "state_write_bytes": m["bytes_written"],
+        }
 
-    # batch: 10% recrawls (exact path) + the sf documents as fresh
-    # content (near/new paths) — identical to bench.py's definition
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    recrawl = corpus.filter(F.substring("url", -1, 1) == "7").select(
-        F.concat(F.lit("recrawl://"), F.col("url")).alias("url"),
-        "warc_ts",
-        "text",
-        "lang",
-    )
-    fresh = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        F.format_string("fresh://%07d", "doc_id").alias("url"),
-        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id") * 17).alias("warc_ts"),
-        "text",
-        "lang",
-    )
-    batch = recrawl.unionByName(fresh).localCheckpoint(eager=True)
-    n_batch = batch.count()
+    chain: list[dict] = []
 
-    def incremental():
-        st = DedupState(
-            sha_index=spark.read.parquet(f"{state_dir}/sha_index"),
-            canonicals=spark.read.parquet(f"{state_dir}/canonicals"),
-        )
-        a = incremental_assign(spark, st, batch, cfg, index_bucket_cap=64).assignments
-        return {"assigned": a.count()}
+    def run_batch(k: int):
+        def inner():
+            st = store.read()
+            res = incremental_assign(spark, st, batches[k], cfg, index_bucket_cap=64)
+            a = res.assignments.localCheckpoint(eager=True)
+            vias = {r["via"]: r["count"] for r in a.groupBy("via").count().collect()}
+            m = store.commit_delta(res.delta)
+            return {
+                "batch": k,
+                "pages": a.count(),
+                "via": vias,
+                "state_write_bytes": m["bytes_written"],
+                "state_total_bytes": store.total_bytes(),
+                "segments": len(m["segments"]),
+                "_assign": a,
+            }
+
+        r = measured(inner)
+        chain.append(r)
 
     def full_rerun():
-        both = corpus.select("url", "warc_ts", "text", "lang").unionByName(batch)
-        return {"clusters": run_dedup_pipeline(spark, both, cfg).clusters.select(
-            "canonical_url").distinct().count()}
+        both = corpus.unionByName(fixture.filter(last == "9"))
+        res = run_dedup_pipeline(spark, both, cfg)
+        full = res.clusters.select("url", F.col("canonical_url").alias("full_canon"))
+        full = full.localCheckpoint(eager=True)
+        # divergence: batch page u (incremental canonical c) agrees iff
+        # the rerun puts u and c in the same cluster
+        inc_all = chain[0]["_assign"]
+        for r in chain[1:]:
+            inc_all = inc_all.unionByName(r["_assign"])
+        j = (
+            inc_all.join(full, "url")
+            .join(
+                full.select(
+                    F.col("url").alias("canonical_url"),
+                    F.col("full_canon").alias("canon_full_canon"),
+                ),
+                "canonical_url",
+            )
+        )
+        agree = j.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(F.col("full_canon") == F.col("canon_full_canon")).alias("same"),
+        ).collect()[0]
+        return {
+            "clusters": full.select("full_canon").distinct().count(),
+            "batch_pages_checked": agree["n"],
+            "assignment_agreement": round(agree["same"] / max(agree["n"], 1), 5),
+        }
 
-    phase("bootstrap", bootstrap)
-    phase("incremental", incremental)
-    phase("full_rerun", full_rerun)
+    boot = measured(bootstrap)
+    for k in range(args.batches):
+        run_batch(k)
+    rerun = measured(full_rerun)
+    for r in chain:
+        r.pop("_assign", None)
 
+    batch_pages = [r["pages"] for r in chain]
+    write_bytes = [r["state_write_bytes"] for r in chain]
+    mean_batch_shuffle = sum(r["shuffle_write_bytes"] for r in chain) / len(chain)
+    mean_batch_input = sum(r["input_bytes"] for r in chain) / len(chain)
     result = {
-        "corpus_pages": args.n_pages,
-        "batch_pages": n_batch,
-        "phases": phases,
-        "shuffle_ratio_full_over_incremental": round(
-            phases["full_rerun"]["shuffle_write_bytes"]
-            / max(phases["incremental"]["shuffle_write_bytes"], 1),
-            2,
+        "corpus_pages": args.n_pages - sum(batch_pages),
+        "batch_pages": batch_pages,
+        "bootstrap": boot,
+        "chain": chain,
+        "full_rerun": rerun,
+        "state_write_flat": round(max(write_bytes) / max(min(write_bytes), 1), 2),
+        "state_write_vs_base": round(boot["state_write_bytes"] / max(max(write_bytes), 1), 1),
+        "shuffle_ratio_full_over_batch": round(
+            rerun["shuffle_write_bytes"] / max(mean_batch_shuffle, 1), 2
         ),
-        "input_ratio_full_over_incremental": round(
-            phases["full_rerun"]["input_bytes"]
-            / max(phases["incremental"]["input_bytes"], 1),
-            2,
+        "input_ratio_full_over_batch": round(
+            rerun["input_bytes"] / max(mean_batch_input, 1), 2
         ),
     }
     print(json.dumps(result))
 
     if args.report:
-        mb = lambda b: f"{b / 1e6:,.1f}"
-        p = phases
-        with open(os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), "BENCH", "INCREMENTAL.md"), "w") as f:
-            f.write(f"""# Incremental dedup vs full rerun — measured evidence
+        mb = lambda b: f"{b / 1e6:,.2f}"
+        chain_rows = "\n".join(
+            "| {k} | {w} | {p} | {via} | {swb} | {stb} | {inb} | {shb} |".format(
+                k=r["batch"] + 1,
+                w=r["wall_sec"],
+                p=r["pages"],
+                via=" ".join(f"{v}:{r['via'].get(v, 0)}" for v in ("exact", "near", "new")),
+                swb=mb(r["state_write_bytes"]),
+                stb=mb(r["state_total_bytes"]),
+                inb=mb(r["input_bytes"]),
+                shb=mb(r["shuffle_write_bytes"]),
+            )
+            for r in chain
+        )
+        corpus_n = result["corpus_pages"]
+        report_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH",
+            "INCREMENTAL.md",
+        )
+        with open(report_path, "w") as f:
+            f.write(f"""# Incremental dedup — chain evidence (compute AND state writes O(batch))
 
-Corpus {args.n_pages:,} fixture pages; batch {n_batch:,} pages (10%
-recrawls exercising the exact path + the sf documents as fresh
-content).  Bytes from the Spark UI REST API, summed over completed
-stages per phase; local[32], warm JVM.
+Corpus {corpus_n:,} fixture pages (url last digit 0-8); {len(chain)}
+consecutive batches of ~{batch_pages[0]:,} pages each (digit 9, sliced
+by second-last digit) chained through `plans/incremental.py` + the
+log-structured state store (`plans/state_store.py`).  Compute bytes
+from the Spark UI REST API per phase; state bytes measured on disk per
+commit.  local[32], warm JVM.
 
-| phase | wall s | input MB | shuffle write MB |
-|---|---|---|---|
-| bootstrap (one-time) | {p['bootstrap']['wall_sec']} | {mb(p['bootstrap']['input_bytes'])} | {mb(p['bootstrap']['shuffle_write_bytes'])} |
-| **incremental batch** | {p['incremental']['wall_sec']} | {mb(p['incremental']['input_bytes'])} | {mb(p['incremental']['shuffle_write_bytes'])} |
-| full rerun (corpus+batch) | {p['full_rerun']['wall_sec']} | {mb(p['full_rerun']['input_bytes'])} | {mb(p['full_rerun']['shuffle_write_bytes'])} |
+## The chain
 
-- full-rerun / incremental shuffle bytes: **{result['shuffle_ratio_full_over_incremental']}x**
-- full-rerun / incremental input bytes: **{result['input_ratio_full_over_incremental']}x**
+| batch | wall s | pages | via mix | state write MB | state total MB | input MB | shuffle write MB |
+|---|---|---|---|---|---|---|---|
+{chain_rows}
 
-At a corpus/batch ratio of {args.n_pages / n_batch:.1f}x the
-incremental path already reads {result['input_ratio_full_over_incremental']}x
-fewer bytes (it reads compact state tables — sha index + canonical
-fingerprints — not raw pages, so the input ratio EXCEEDS the corpus
-ratio) and shuffles {result['shuffle_ratio_full_over_incremental']}x fewer.
-Both ratios grow linearly with corpus/batch: the rerun's bytes are
-O(corpus), the batch path's are O(batch).
+- bootstrap (one-time): {boot['wall_sec']} s, state base write {mb(boot['state_write_bytes'])} MB,
+  {boot['clusters']:,} clusters, input {mb(boot['input_bytes'])} MB, shuffle {mb(boot['shuffle_write_bytes'])} MB
+- full rerun over corpus+batches (the non-incremental alternative, run once
+  for comparison): {rerun['wall_sec']} s, input {mb(rerun['input_bytes'])} MB,
+  shuffle {mb(rerun['shuffle_write_bytes'])} MB
+
+## What the numbers show
+
+- **State writes are O(batch), flat across the chain** (r3 verdict
+  item #1): per-batch commit bytes stay within {result['state_write_flat']}x
+  of each other while the base is {result['state_write_vs_base']}x larger than
+  any commit — the corpus-sized tables are never rewritten (the old
+  writer rewrote both every batch).  Each commit is one delta segment
+  (sha_new + freq_delta + canon_new) published by an atomic manifest
+  rename; `--compact` folds the log back into a base at a chosen
+  cadence (one O(corpus) write amortized over the chain).
+- **Compute is O(batch)**: the full rerun reads
+  {result['input_ratio_full_over_batch']}x and shuffles
+  {result['shuffle_ratio_full_over_batch']}x the mean batch's bytes at a
+  corpus/batch ratio of {round(corpus_n / batch_pages[0], 1)}x.  Both ratios grow
+  linearly with corpus/batch: the rerun moves O(corpus) every snapshot,
+  the batch path O(batch + state probe).
+- **Via mix is stable across batches** (symmetric slices): the exact /
+  near / new proportions above move only with slice noise, and state
+  growth per batch ({mb(sum(write_bytes) / len(write_bytes))} MB avg) tracks batch
+  mass, not corpus mass.
+- **Divergence vs a full rerun, measured** (r3 verdict item #3 — was
+  asserted, now quantified): over {rerun['batch_pages_checked']:,} chained batch
+  pages, **{rerun['assignment_agreement'] * 100:.2f}%** land in the same rerun
+  cluster as their incrementally-assigned canonical.  The remainder is
+  the documented one-hop "state wins" divergence
+  (plans/incremental.py): a batch rep absorbed by state does not also
+  bridge batch-only clusters, and absorption is one-hop — the same
+  greedy behavior the reference applies to later-processed nodes
+  (directional.rs:47-53 deletes as it absorbs).
 
 Why bytes and not wall: at the 150k bench tier fixed JVM/stage
-overheads compress the wall gap; the byte ratios are what scale.  The
-incremental phase's bytes are O(batch + state-probe) and independent
-of corpus size once the state tables are bucketed (SCALE.md); the
-full-rerun bytes grow linearly with the corpus — at a 10^12-doc corpus
-and a 10^9-doc snapshot the rerun moves ~1000x more bytes than the
-batch path, every snapshot.
+overheads compress the wall gap; the byte ratios are what scale.  At a
+10^12-doc corpus and a 10^9-doc snapshot the rerun moves ~1000x more
+bytes than the batch path, every snapshot — and the old full-rewrite
+persistence would have added an O(corpus) write on top (the sha index
+alone is ~30 TB at that scale); the delta store writes ~0.1% of that.
 
-Reproduce: `python tools/bench_incremental.py {args.n_pages} --report`
+Reproduce: `python tools/bench_incremental.py {args.n_pages} --batches {len(chain)} --report`
 """)
     return 0
 

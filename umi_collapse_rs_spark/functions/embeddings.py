@@ -327,10 +327,11 @@ def multitable_lsh_topk(
     emb_col: str,
     dim: int = EMBEDDING_DIM,
     n_tables: int = 16,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     k: int = 3,
     bucket_cap: int = 64,
     seed: int = 11,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via multi-table hyperplane LSH
     (the classic L-tables-of-b-planes construction): ``n_tables``
@@ -357,7 +358,23 @@ def multitable_lsh_topk(
     remaining cost is intrinsic to the structure-free bench vectors:
     ~23% of all pairs collide in some table (~0.94M distinct pairs at
     2k vectors), and each distinct pair is cosine-scored once.
+
+    ``n_planes`` defaults to the SAME occupancy rule as the
+    single-table path (:func:`auto_n_planes` of ``n_rows``, r3 verdict
+    item #5): each table's 2^planes buckets are sized so expected
+    occupancy ~ ``bucket_cap``, so the per-(table, bucket) cap stops
+    truncating neighbor lists — at the fixed 6 planes the sf0.01 tables
+    had 64 buckets for 500 vectors (occupancy 8, cap 64 idle) while
+    sf-up corpora overflowed.  Measured recall@3 on the structure-free
+    sandbox vectors at the default 16 tables: 0.553 -> 0.962 at n=500,
+    0.730 at n=2000, same n_tables * bucket_cap candidate bound; the
+    n_tables knob buys more (24 tables: 0.995 / 0.860) at
+    proportionally more candidates (BENCH/ANN.md sweep).
     """
+    if n_planes is None:
+        if n_rows is None:
+            raise ValueError("pass n_planes explicitly or n_rows for auto-scaling")
+        n_planes = auto_n_planes(n_rows, bucket_cap)
     planes = lsh_planes(n_tables * n_planes, dim, seed)
     spark_p = _shuffle_partitions(df)
     tb = F.array(
@@ -671,11 +688,16 @@ def hyperplane_lsh_topk_oracle_sql(
 def multitable_lsh_topk_oracle_sql(
     dim: int = EMBEDDING_DIM,
     n_tables: int = 16,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     k: int = 3,
     bucket_cap: int = 64,
     seed: int = 11,
+    n_rows: int | None = None,
 ) -> str:
+    if n_planes is None:
+        if n_rows is None:
+            raise ValueError("pass n_planes explicitly or n_rows for auto-scaling")
+        n_planes = auto_n_planes(n_rows, bucket_cap)
     planes = lsh_planes(n_tables * n_planes, dim, seed)
     tb_structs = ",\n                   ".join(
         f"{{'t': {t}, 'bkt': {_bucket_sql('embedding', planes[t * n_planes:(t + 1) * n_planes])}}}"

@@ -79,9 +79,24 @@ class DedupState:
 
 
 @dataclass
+class StateDelta:
+    """The O(batch)-sized state change one batch produces — what the
+    log-structured store persists per snapshot (plans/state_store.py;
+    r3 verdict item #1: the full-table rewrite betrayed the plan's
+    O(batch) property at the write step).  Production mapping: one
+    Iceberg transaction = INSERT sha_new + MERGE freq_delta + INSERT
+    canon_new."""
+
+    sha_new: DataFrame     # (text_sha, canonical_url) — disjoint from the index by construction
+    freq_delta: DataFrame  # (url, added) — one row per canonical that absorbed batch mass
+    canon_new: DataFrame   # (url, freq, simhash, mh_bands, mh_sig) — new clusters
+
+
+@dataclass
 class IncrementalResult:
     assignments: DataFrame  # (url, canonical_url, via) — one row per NEW page
-    state_out: DedupState   # input state + absorbed mass + new clusters
+    state_out: DedupState   # input state + absorbed mass + new clusters (in-memory fold of delta)
+    delta: StateDelta       # the O(batch) persistable change (state_out = fold(state_in, delta))
 
 
 def build_state(res) -> DedupState:
@@ -250,13 +265,15 @@ def incremental_assign(
         .select("url", "canonical_url", "via")
     )
 
-    # --- state_out: composable across batches ------------------------
+    # --- state delta (all O(batch)) + state_out fold ------------------
     rep_freq = reps_n.select(F.col("url").alias("rep_url"), "freq")
     absorbed = (
         rep_assign.filter(F.col("via") != "new")
         .join(rep_freq, "rep_url")
         .groupBy("canonical_url")
         .agg(F.sum("freq").alias("_added"))
+        # feeds both the persistable freq_delta and the in-memory fold
+        .localCheckpoint(eager=False)
     )
     canon_grown = (
         state.canonicals.join(absorbed, state.canonicals["url"] == absorbed["canonical_url"], "left")
@@ -288,4 +305,11 @@ def incremental_assign(
         sha_index=state.sha_index.unionByName(sha_new),
         canonicals=canon_grown.unionByName(canon_new),
     )
-    return IncrementalResult(assignments=assignments, state_out=state_out)
+    delta = StateDelta(
+        sha_new=sha_new,
+        freq_delta=absorbed.select(
+            F.col("canonical_url").alias("url"), F.col("_added").alias("added")
+        ),
+        canon_new=canon_new,
+    )
+    return IncrementalResult(assignments=assignments, state_out=state_out, delta=delta)
