@@ -129,3 +129,24 @@ def test_auto_planes_guardrail():
         )
 
         hyperplane_lsh_topk_oracle_sql()
+
+
+def test_multitable_auto_planes_guardrail_and_lockstep():
+    """The multi-table pair (operator + oracle generator) shares the
+    occupancy auto-scaling contract (r4): both raise the explicit
+    ValueError with neither n_planes nor n_rows, and the oracle's
+    auto-derived plane count embeds the same literals as an explicit
+    call at auto_n_planes(n_rows)."""
+    from umi_collapse_rs_spark.functions.embeddings import (
+        multitable_lsh_topk,
+        multitable_lsh_topk_oracle_sql,
+    )
+
+    with pytest.raises(ValueError, match="n_planes|n_rows"):
+        multitable_lsh_topk(None, "id", "emb")
+    with pytest.raises(ValueError, match="n_planes|n_rows"):
+        multitable_lsh_topk_oracle_sql()
+    n = 500
+    assert multitable_lsh_topk_oracle_sql(
+        n_rows=n
+    ) == multitable_lsh_topk_oracle_sql(n_planes=auto_n_planes(n, 64))
