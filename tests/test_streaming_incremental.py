@@ -1,0 +1,230 @@
+"""Streaming incremental dedup (streaming/incremental.py): a file
+stream of page drops absorbed micro-batch by micro-batch into the
+log-structured state store via foreachBatch.
+
+Covers what neither the batch incremental tests nor the driver oracle
+can see: end-to-end equivalence with chaining the same drops through
+the batch API, and the exactly-once guarantees — idempotent replay of
+a committed micro-batch, and a LOST query checkpoint (ids restart at
+0) not double-counting anything thanks to the manifest's batch-id
+high-water mark."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from umi_collapse_rs_spark.config import DedupConfig
+from umi_collapse_rs_spark.plans.incremental import build_state, incremental_assign
+from umi_collapse_rs_spark.plans.pipeline import run_dedup_pipeline
+from umi_collapse_rs_spark.plans.state_store import StateStore
+from umi_collapse_rs_spark.streaming.incremental import (
+    incremental_sink,
+    start_incremental_stream,
+)
+
+CFG = DedupConfig(window_tokens=0)
+
+
+def _canon_pdf(df):
+    pdf = df.toPandas()
+    for c in ("mh_bands", "mh_sig"):
+        pdf[c] = pdf[c].map(tuple)
+    return pdf.sort_values("url").reset_index(drop=True)
+
+
+def _sha_pdf(df):
+    return (
+        df.toPandas().sort_values(["text_sha", "canonical_url"]).reset_index(drop=True)
+    )
+
+
+def _assert_states_equal(a, b):
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(_sha_pdf(a.sha_index), _sha_pdf(b.sha_index))
+    pd.testing.assert_frame_equal(_canon_pdf(a.canonicals), _canon_pdf(b.canonicals))
+
+
+@pytest.fixture(scope="module")
+def stream_run(spark, fixture_500, tmp_path_factory):
+    """Bootstrap state from the 400-page old half, drop the 100-page
+    new half as three parquet files, drain them with one micro-batch
+    per file (maxFilesPerTrigger=1, availableNow)."""
+    pages, _ = fixture_500
+    is_new = F.substring("url", -1, 1).isin("3", "7")
+    old, new = pages.filter(~is_new), pages.filter(is_new)
+
+    base = str(tmp_path_factory.mktemp("sinc"))
+    state_root = f"{base}/state"
+    input_dir = f"{base}/in"
+    output_root = f"{base}/out"
+    ckpt = f"{base}/ckpt"
+    os.makedirs(input_dir)
+
+    store = StateStore(spark, state_root)
+    store.bootstrap(build_state(run_dedup_pipeline(spark, old, CFG)))
+
+    # three disjoint drops keyed on the second-last url digit
+    drop_of = (F.substring("url", -2, 1).cast("int") % 3).alias("_drop")
+    drops = []
+    for i in range(3):
+        b = new.withColumn("_drop", drop_of).filter(F.col("_drop") == i).drop("_drop")
+        staging = f"{base}/stage{i}"
+        b.coalesce(1).write.parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        shutil.copy(part, f"{input_dir}/drop-{i:03d}.parquet")
+        drops.append(b)
+
+    q = start_incremental_stream(
+        spark, input_dir, state_root, output_root, ckpt,
+        CFG, max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(output_root)  # batch_id is the partition column
+    return {
+        "base": base,
+        "store": store,
+        "state_root": state_root,
+        "input_dir": input_dir,
+        "output_root": output_root,
+        "drops": drops,
+        "new": new,
+        "old": old,
+        "out": out.toPandas(),
+        "out_df": out,
+    }
+
+
+def test_one_micro_batch_per_drop_all_pages_assigned(stream_run):
+    out = stream_run["out"]
+    assert sorted(out["batch_id"].unique()) == [0, 1, 2]
+    new_urls = sorted(r.url for r in stream_run["new"].select("url").collect())
+    assert sorted(out["url"]) == new_urls
+    assert out["url"].is_unique
+    assert set(out["via"]) <= {"exact", "near", "new"}
+    # each micro-batch is exactly one drop file
+    by_batch = out.groupby("batch_id")["url"].apply(set)
+    drop_urls = [
+        {r.url for r in d.select("url").collect()} for d in stream_run["drops"]
+    ]
+    for bid, urls in by_batch.items():
+        assert urls in drop_urls
+
+
+def test_stream_equals_batch_chain_in_stream_order(spark, stream_run):
+    """Folded stream state == chaining the same drops through the
+    batch incremental API in the order the stream processed them, and
+    the assignments agree row for row."""
+    import pandas as pd
+
+    out = stream_run["out"]
+    drop_urls = [
+        {r.url for r in d.select("url").collect()} for d in stream_run["drops"]
+    ]
+    order = []
+    for bid in sorted(out["batch_id"].unique()):
+        urls = set(out[out["batch_id"] == bid]["url"])
+        order.append(next(i for i, du in enumerate(drop_urls) if du == urls))
+    assert sorted(order) == [0, 1, 2]
+
+    state = build_state(run_dedup_pipeline(spark, stream_run["old"], CFG))
+    chained = []
+    for i in order:
+        res = incremental_assign(
+            spark, state, stream_run["drops"][i], CFG, index_bucket_cap=64
+        )
+        chained.append(res.assignments.toPandas())
+        state = res.state_out
+    _assert_states_equal(stream_run["store"].read(), state)
+
+    want = (
+        pd.concat(chained)[["url", "canonical_url", "via"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    got = (
+        out[["url", "canonical_url", "via"]].sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_manifest_high_water_mark_and_log_shape(stream_run):
+    store = stream_run["store"]
+    m = store.manifest()
+    assert store.last_batch_id() == 2
+    assert m["version"] == 4  # bootstrap + 3 delta commits
+    assert len(m["segments"]) == 3
+
+
+def test_replayed_micro_batch_is_a_noop(spark, stream_run):
+    """Re-delivering an already-committed micro-batch (foreachBatch
+    at-least-once) changes nothing: same manifest version, same
+    assignments on disk."""
+    store = stream_run["store"]
+    before = store.manifest()
+    sink = incremental_sink(
+        spark, stream_run["state_root"], stream_run["output_root"], CFG
+    )
+    last_drop = stream_run["drops"][2]
+    sink(last_drop, 2)   # replay of the newest committed id
+    sink(last_drop, 0)   # stale replay from far behind
+    assert store.manifest() == before
+    out = spark.read.parquet(stream_run["output_root"]).toPandas()
+    assert sorted(out["url"]) == sorted(stream_run["out"]["url"])
+
+
+def test_lost_query_checkpoint_does_not_double_count(spark, stream_run):
+    """Restarting over the same input with a FRESH checkpoint (query
+    state lost, dedup state kept) re-delivers every drop with ids
+    restarting at 0 — the manifest high-water mark absorbs all of them
+    as replays and the state is byte-identical."""
+    before = stream_run["store"].manifest()
+    fold_before = stream_run["store"].read()
+    sha_b, canon_b = _sha_pdf(fold_before.sha_index), _canon_pdf(fold_before.canonicals)
+    q = start_incremental_stream(
+        spark,
+        stream_run["input_dir"],
+        stream_run["state_root"],
+        stream_run["output_root"],
+        f"{stream_run['base']}/ckpt-fresh",
+        CFG,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    assert stream_run["store"].manifest() == before
+    fold_after = stream_run["store"].read()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(_sha_pdf(fold_after.sha_index), sha_b)
+    pd.testing.assert_frame_equal(_canon_pdf(fold_after.canonicals), canon_b)
+
+
+def test_commit_delta_replay_contract(stream_run):
+    """StateStore half of exactly-once: commit_delta at or below the
+    high-water mark reports skipped_replay and writes nothing."""
+    store = stream_run["store"]
+    n_dirs_before = len(store._listdir(store.root))
+    # a delta is required by signature; reuse a committed segment's
+    # data — contents are irrelevant, the id gate fires first
+    from umi_collapse_rs_spark.plans.incremental import StateDelta
+
+    spark = store.spark
+    root, seg = store.root, store.manifest()["segments"][0]
+    delta = StateDelta(
+        sha_new=spark.read.parquet(f"{root}/{seg}/sha_new"),
+        freq_delta=spark.read.parquet(f"{root}/{seg}/freq_delta"),
+        canon_new=spark.read.parquet(f"{root}/{seg}/canon_new"),
+    )
+    m = store.commit_delta(delta, batch_id=1)
+    assert m["skipped_replay"] and m["bytes_written"] == 0
+    assert len(store._listdir(store.root)) == n_dirs_before
+
+
+def test_sink_requires_bootstrapped_state(spark, tmp_path):
+    with pytest.raises(RuntimeError, match="bootstrap"):
+        incremental_sink(spark, str(tmp_path / "nostate"), str(tmp_path / "out"))

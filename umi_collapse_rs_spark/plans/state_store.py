@@ -141,15 +141,34 @@ class StateStore:
             f"{self.root}/canonicals"
         )
 
-    def _commit_manifest(self, base: str, segments: list[str]) -> dict:
+    def _commit_manifest(
+        self, base: str, segments: list[str], batch_id: int | None = None
+    ) -> dict:
         prev = self.manifest()
         version = (prev["version"] + 1) if prev else 1
         m = {"version": version, "base": base, "segments": segments}
+        if batch_id is not None:
+            m["batch_id"] = batch_id
+        elif prev is not None and "batch_id" in prev:
+            # carry the stream high-water mark through commits that
+            # don't advance it (compaction)
+            m["batch_id"] = prev["batch_id"]
         self._write_file_atomic(
             f"{self.root}/manifest/v{version:08d}.json",
             json.dumps(m).encode(),
         )
         return m
+
+    def last_batch_id(self) -> int | None:
+        """Streaming high-water mark: the highest micro-batch id ever
+        committed through :meth:`commit_delta`, or None (batch-only
+        store / fresh bootstrap).  Used by the foreachBatch sink to make
+        replayed micro-batches no-ops (exactly-once on top of
+        Structured Streaming's at-least-once delivery)."""
+        m = self.manifest()
+        if m is None:
+            return None
+        return m.get("batch_id")
 
     # -- write paths ---------------------------------------------------
 
@@ -178,16 +197,31 @@ class StateStore:
             f"{self.root}/{seg}/canon_new"
         )
 
-    def commit_delta(self, delta: StateDelta) -> dict:
+    def commit_delta(self, delta: StateDelta, batch_id: int | None = None) -> dict:
         """Persist one batch's state delta: write seg-{K+1}, then commit
         manifest v{K+1}.  Total bytes written are O(batch) — returned as
-        ``bytes_written`` for the bench evidence."""
+        ``bytes_written`` for the bench evidence.
+
+        ``batch_id`` (streaming): the micro-batch id from foreachBatch.
+        Ids are monotone within a streaming query, so a commit whose id
+        is <= the manifest's high-water mark is a REPLAY of work already
+        committed (the query restarted between our manifest rename and
+        its own checkpoint advance) — it is skipped without touching the
+        log, and the returned manifest carries ``skipped_replay: True``.
+        This is the idempotent-sink half of exactly-once foreachBatch.
+        """
         prev = self.manifest()
         if prev is None:
             raise RuntimeError("commit_delta before bootstrap")
+        if batch_id is not None:
+            hwm = prev.get("batch_id")
+            if hwm is not None and batch_id <= hwm:
+                return {**prev, "bytes_written": 0, "skipped_replay": True}
         seg = f"seg-{prev['version'] + 1:08d}"
         self._write_segment(delta, seg)
-        m = self._commit_manifest(prev["base"], prev["segments"] + [seg])
+        m = self._commit_manifest(
+            prev["base"], prev["segments"] + [seg], batch_id=batch_id
+        )
         m["bytes_written"] = self._du(f"{self.root}/{seg}")
         return m
 

@@ -20,10 +20,17 @@ from umi_collapse_rs_spark.functions.normalize import normalize_text_col, text_s
 from umi_collapse_rs_spark.sources.pages import PAGES_SCHEMA
 
 
-def stream_pages(spark: SparkSession, path: str) -> DataFrame:
+def stream_pages(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream of pages parquet drops (one file per
-    micro-batch in tests; a directory listing stream in production)."""
-    return spark.readStream.schema(PAGES_SCHEMA).parquet(path)
+    micro-batch in tests; a directory listing stream in production).
+    ``max_files_per_trigger`` bounds micro-batch size — the source-side
+    backpressure knob for the incremental-dedup sink."""
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def streaming_exact_dedup(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
