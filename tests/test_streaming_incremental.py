@@ -228,3 +228,38 @@ def test_commit_delta_replay_contract(stream_run):
 def test_sink_requires_bootstrapped_state(spark, tmp_path):
     with pytest.raises(RuntimeError, match="bootstrap"):
         incremental_sink(spark, str(tmp_path / "nostate"), str(tmp_path / "out"))
+
+
+def test_mid_stream_compaction_preserves_high_water_mark(spark, stream_run, tmp_path):
+    """compact_segments=2 fires compaction DURING the stream; the
+    batch-id high-water mark must ride through the re-base so replay
+    protection still holds afterwards, and the final folded state must
+    match the uncompacted stream's."""
+    pages_old, drops = stream_run["old"], stream_run["drops"]
+    state_root = str(tmp_path / "state")
+    store = StateStore(spark, state_root)
+    store.bootstrap(build_state(run_dedup_pipeline(spark, pages_old, CFG)))
+
+    sink = incremental_sink(
+        spark, state_root, str(tmp_path / "out"), CFG, compact_segments=2
+    )
+    # absorption is order-dependent across batches ("state wins"), so
+    # feed the drops in the order the recorded stream processed them
+    out = stream_run["out"]
+    drop_urls = [{r.url for r in d.select("url").collect()} for d in drops]
+    order = [
+        next(
+            i
+            for i, du in enumerate(drop_urls)
+            if du == set(out[out["batch_id"] == bid]["url"])
+        )
+        for bid in sorted(out["batch_id"].unique())
+    ]
+    for bid, i in enumerate(order):
+        sink(drops[i], bid)
+    m = store.manifest()
+    assert m["base"] != "base-g00000001"  # compaction actually fired
+    assert store.last_batch_id() == 2     # mark carried through re-base
+    sink(drops[order[1]], 1)              # replay after compaction: no-op
+    assert store.manifest() == m
+    _assert_states_equal(store.read(), stream_run["store"].read())
