@@ -81,10 +81,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     q.awaitTermination()
     m = store.manifest()
+    batches = [
+        {
+            "batch_id": p["batchId"],
+            "rows": p["numInputRows"],
+            "wall_sec": round((p.get("batchDuration") or 0) / 1000, 2),
+        }
+        for p in (q.recentProgress or [])
+        if p.get("numInputRows", 0) > 0
+    ]
     summary = {
         "mode": "stream_incremental",
         "hwm_before": hwm_before,
         "hwm_after": store.last_batch_id(),
+        "micro_batches": batches,
         "state_version": m["version"],
         "state_segments": len(m["segments"]),
         "state_total_bytes": store.total_bytes(),
