@@ -84,7 +84,11 @@ def main(argv: list[str] | None = None) -> int:
     batches = [
         {
             "batch_id": p["batchId"],
-            "rows": p["numInputRows"],
+            # progress counts source ROWS READ, which exceeds the drop's
+            # row count when the plan scans the micro-batch relation more
+            # than once (exact probe + fingerprints + final expansion);
+            # true per-batch page counts live in <output>/batch_id=N
+            "source_rows_read": p["numInputRows"],
             "wall_sec": round((p.get("batchDuration") or 0) / 1000, 2),
         }
         for p in (q.recentProgress or [])
