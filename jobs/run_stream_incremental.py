@@ -15,12 +15,20 @@
 The state under --state must already be bootstrapped
 (``jobs/run_incremental.py --bootstrap``).  Every micro-batch runs the
 same O(batch) assignment plan as the batch job and commits one delta
-segment; assignments land under ``--output/batch_id=N``.  Restarts are
-exactly-once end to end: the query checkpoint replays unfinished
-micro-batches, the per-batch output dirs overwrite idempotently, and
-the state manifest's batch-id high-water mark rejects double commits —
-including after a LOST checkpoint (ids restart at 0; every replay is
-absorbed as a no-op).
+segment; assignments land under ``--output/batch_id=N``.  Restarts
+with the SAME checkpoint are exactly-once end to end: the query
+checkpoint replays unfinished micro-batches, the per-batch output dirs
+overwrite idempotently, and the state manifest's batch-id high-water
+mark (scoped to the streaming query id) rejects double commits.
+
+A LOST checkpoint is weaker: batch ids restart at 0 under a new query
+id, so the mark alone proves nothing.  The sink then compares each
+batch's content fingerprint against the committed ones — a
+byte-identical re-delivery (same files, same --max-files) is absorbed
+as a no-op; anything else FAILS FAST rather than guessing, because a
+shifted batching could mix already-committed pages with new ones.
+Pass --allow-new-stream only after verifying the input is genuinely
+new data; it re-bases the lineage and absorbs the batches.
 
 No reference analog (umi-collapse-rs is single-corpus per run).
 """
@@ -48,6 +56,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="state-probe skew bound (canonicals kept per band bucket); 0 = uncapped")
     ap.add_argument("--compact-segments", type=int, default=16,
                     help="auto-compact when the manifest carries >= N delta segments; 0 = never")
+    ap.add_argument("--allow-new-stream", action="store_true",
+                    help="permit a NEW checkpoint lineage to absorb batches whose "
+                         "content matches no committed batch (verify the input is "
+                         "genuinely new first — this disables the fail-fast guard)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args(argv)
@@ -78,9 +90,14 @@ def main(argv: list[str] | None = None) -> int:
         compact_segments=args.compact_segments,
         max_files_per_trigger=args.max_files or None,
         available_now=not args.continuous,
+        allow_new_stream=args.allow_new_stream,
     )
     q.awaitTermination()
     m = store.manifest()
+    # q.recentProgress is capped at spark.sql.streaming.numRecentProgressUpdates
+    # (default 100), so long availableNow drains under-report there — the
+    # authoritative per-batch record is the output batch_id=N partitions.
+    progress = q.recentProgress or []
     batches = [
         {
             "batch_id": p["batchId"],
@@ -91,14 +108,22 @@ def main(argv: list[str] | None = None) -> int:
             "source_rows_read": p["numInputRows"],
             "wall_sec": round((p.get("batchDuration") or 0) / 1000, 2),
         }
-        for p in (q.recentProgress or [])
+        for p in progress
         if p.get("numInputRows", 0) > 0
     ]
+    out_batch_ids = sorted(
+        int(name.split("=", 1)[1])
+        for name in store._listdir(args.output)
+        if name.startswith("batch_id=")
+    )
     summary = {
         "mode": "stream_incremental",
         "hwm_before": hwm_before,
         "hwm_after": store.last_batch_id(),
+        # authoritative (uncapped): one entry per batch ever written
+        "output_batch_ids": out_batch_ids,
         "micro_batches": batches,
+        "progress_capped": len(progress) >= 100,
         "state_version": m["version"],
         "state_segments": len(m["segments"]),
         "state_total_bytes": store.total_bytes(),

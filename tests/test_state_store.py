@@ -211,3 +211,48 @@ def test_read_before_bootstrap_raises(spark, tmp_path):
         store.read()
     with pytest.raises(RuntimeError, match="before bootstrap"):
         store.compact()
+
+
+def test_rebootstrap_resets_stream_lineage(spark, st, tmp_path):
+    """Re-bootstrapping an existing root starts a FRESH lineage: no
+    stale batch_id / stream_id / batch_fps survive (a retained mark
+    would silently suppress the first hwm+1 micro-batches of the next
+    stream), and the base generation advances instead of reusing
+    g00000001."""
+    root = str(tmp_path / "reboot")
+    store = StateStore(spark, root)
+    store.bootstrap(st["state"])
+    store.commit_delta(
+        st["inc"].delta, batch_id=5, stream_id="qid-old", batch_fp="9:123"
+    )
+    m = store.manifest()
+    assert m["batch_id"] == 5 and m["stream_id"] == "qid-old"
+    assert m["batch_fps"] == {"9:123": 5}
+    old_base = m["base"]
+
+    m2 = store.bootstrap(st["state"])
+    assert "batch_id" not in m2 and "stream_id" not in m2
+    assert "batch_fps" not in m2
+    assert store.last_batch_id() is None
+    assert m2["base"] != old_base  # derived generation, never reused
+    assert int(m2["base"].split("-g")[1]) == int(old_base.split("-g")[1]) + 1
+    _assert_states_equal(store.read(), st["state"])
+
+
+def test_commit_delta_new_lineage_rebases_high_water_mark(spark, st, tmp_path):
+    """A commit from a DIFFERENT stream_id is NOT skipped by the old
+    lineage's high-water mark (ids restart at 0 in a new lineage); the
+    manifest re-bases onto the new id while keeping the old content
+    fingerprints for future replay recognition."""
+    root = str(tmp_path / "lineage")
+    store = StateStore(spark, root)
+    store.bootstrap(st["state"])
+    store.commit_delta(st["inc"].delta, batch_id=7, stream_id="qid-a", batch_fp="1:a")
+    # same lineage, stale id -> replay skip
+    m = store.commit_delta(st["inc"].delta, batch_id=7, stream_id="qid-a")
+    assert m["skipped_replay"]
+    # new lineage, id 0 -> committed, mark re-based
+    m = store.commit_delta(st["inc"].delta, batch_id=0, stream_id="qid-b", batch_fp="1:b")
+    assert not m.get("skipped_replay")
+    assert m["batch_id"] == 0 and m["stream_id"] == "qid-b"
+    assert m["batch_fps"] == {"1:a": 7, "1:b": 0}

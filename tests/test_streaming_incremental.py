@@ -230,6 +230,89 @@ def test_sink_requires_bootstrapped_state(spark, tmp_path):
         incremental_sink(spark, str(tmp_path / "nostate"), str(tmp_path / "out"))
 
 
+def _novel_drop(stream_run):
+    """8 pages genuinely absent from state AND drops: derived from the
+    new half with transformed urls + a text suffix."""
+    return stream_run["new"].limit(8).select(
+        F.concat(F.col("url"), F.lit("#v2")).alias("url"),
+        "warc_ts",
+        "html",
+        F.concat(F.col("text"), F.lit(" zqx entirely novel suffix")).alias("text"),
+        "lang",
+    )
+
+
+def _copy_state_and_inputs(stream_run, tmp_path, novel):
+    """Private copies of the committed state + input drops, plus one
+    NEW drop file appended — the 'fresh checkpoint, shifted input set'
+    scenario.  Copies keep the shared module fixture untouched."""
+    state_root = str(tmp_path / "state")
+    shutil.copytree(stream_run["state_root"], state_root)
+    in2 = str(tmp_path / "in")
+    shutil.copytree(stream_run["input_dir"], in2)
+    staging = str(tmp_path / "stage-novel")
+    novel.coalesce(1).write.parquet(staging)
+    (part,) = glob.glob(f"{staging}/part-*.parquet")
+    shutil.copy(part, f"{in2}/drop-zzz-novel.parquet")
+    return state_root, in2
+
+
+def test_fresh_checkpoint_with_new_data_fails_fast(spark, stream_run, tmp_path):
+    """A NEW checkpoint lineage (query id changes) over a store with
+    streaming history: byte-identical re-deliveries are content-skipped,
+    but a batch matching no committed fingerprint must FAIL FAST — the
+    silent alternative is double-counting or dropping pages."""
+    from pyspark.errors import StreamingQueryException
+
+    novel = _novel_drop(stream_run)
+    state_root, in2 = _copy_state_and_inputs(stream_run, tmp_path, novel)
+    store = StateStore(spark, state_root)
+    before = store.manifest()
+    q = start_incremental_stream(
+        spark, in2, state_root, str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), CFG, max_files_per_trigger=1,
+    )
+    with pytest.raises(StreamingQueryException, match="allow-new-stream"):
+        q.awaitTermination()
+    # replays were skipped without commits; the rejected batch committed
+    # nothing — state is exactly as it was
+    assert store.manifest() == before
+
+
+def test_fresh_checkpoint_allow_new_stream_absorbs_once(spark, stream_run, tmp_path):
+    """Same scenario with --allow-new-stream: the three old drops are
+    recognized by content fingerprint and skipped, the novel drop is
+    absorbed exactly once, and the lineage is re-based onto the new
+    query id."""
+    import pandas as pd
+
+    novel = _novel_drop(stream_run)
+    state_root, in2 = _copy_state_and_inputs(stream_run, tmp_path, novel)
+    store = StateStore(spark, state_root)
+    old_sid = store.manifest().get("stream_id")
+    # expected: the committed state + ONE batch-API absorption of novel
+    expected = incremental_assign(
+        spark, store.read(), novel, CFG, index_bucket_cap=64
+    ).state_out
+    exp_sha, exp_canon = _sha_pdf(expected.sha_index), _canon_pdf(expected.canonicals)
+
+    q = start_incremental_stream(
+        spark, in2, state_root, str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), CFG, max_files_per_trigger=1,
+        allow_new_stream=True,
+    )
+    q.awaitTermination()
+    got = store.read()
+    pd.testing.assert_frame_equal(_sha_pdf(got.sha_index), exp_sha)
+    pd.testing.assert_frame_equal(_canon_pdf(got.canonicals), exp_canon)
+    m = store.manifest()
+    assert old_sid is not None and m["stream_id"] != old_sid
+    # every novel url assigned exactly once in the output
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    novel_urls = sorted(r.url for r in novel.select("url").collect())
+    assert sorted(out["url"]) == novel_urls
+
+
 def test_mid_stream_compaction_preserves_high_water_mark(spark, stream_run, tmp_path):
     """compact_segments=2 fires compaction DURING the stream; the
     batch-id high-water mark must ride through the re-base so replay

@@ -142,17 +142,42 @@ class StateStore:
         )
 
     def _commit_manifest(
-        self, base: str, segments: list[str], batch_id: int | None = None
+        self,
+        base: str,
+        segments: list[str],
+        batch_id: int | None = None,
+        stream_id: str | None = None,
+        batch_fp: str | None = None,
+        carry_stream: bool = True,
     ) -> dict:
         prev = self.manifest()
         version = (prev["version"] + 1) if prev else 1
         m = {"version": version, "base": base, "segments": segments}
+        if carry_stream and prev is not None:
+            # carry the stream lineage (high-water mark, query id,
+            # content fingerprints) through commits that don't advance
+            # it (compaction).  bootstrap() passes carry_stream=False:
+            # re-bootstrapping a root starts a fresh lineage and must
+            # NOT retain a stale mark that would suppress the first
+            # hwm+1 micro-batches of a subsequent stream.
+            for k in ("batch_id", "stream_id", "batch_fps"):
+                if k in prev:
+                    m[k] = prev[k]
         if batch_id is not None:
             m["batch_id"] = batch_id
-        elif prev is not None and "batch_id" in prev:
-            # carry the stream high-water mark through commits that
-            # don't advance it (compaction)
-            m["batch_id"] = prev["batch_id"]
+        if stream_id is not None:
+            m["stream_id"] = stream_id
+        if batch_fp is not None and batch_id is not None:
+            # content fingerprint of every committed streaming batch —
+            # lets a FUTURE stream with a fresh checkpoint (new query
+            # id, ids restarting at 0) distinguish a byte-identical
+            # re-delivery (skip) from genuinely new data (process or
+            # fail fast; streaming/incremental.py).  One short string
+            # per micro-batch ever committed: ~30 B/batch of manifest
+            # growth, reset only by a re-bootstrap.
+            fps = dict(m.get("batch_fps") or {})
+            fps[batch_fp] = batch_id
+            m["batch_fps"] = fps
         self._write_file_atomic(
             f"{self.root}/manifest/v{version:08d}.json",
             json.dumps(m).encode(),
@@ -174,17 +199,26 @@ class StateStore:
 
     def bootstrap(self, state: DedupState) -> dict:
         """Write the initial base from a full-pipeline state (one-time
-        O(corpus) write) and commit manifest v1."""
-        base = "base-g00000001"
+        O(corpus) write) and commit a manifest with a FRESH stream
+        lineage (no batch_id / stream_id / batch_fps carried — a
+        re-bootstrap must not suppress the first micro-batches of a
+        subsequent stream with a stale high-water mark).  The base
+        generation is derived from the previous manifest, never reused."""
+        prev = self.manifest()
+        gen = (int(prev["base"].split("-g")[1]) + 1) if prev else 1
+        base = f"base-g{gen:08d}"
+        self._write_base(state, base)
+        m = self._commit_manifest(base, [], carry_stream=False)
+        m["bytes_written"] = self._du(f"{self.root}/{base}")
+        return m
+
+    def _write_base(self, state: DedupState, base: str) -> None:
         state.sha_index.write.mode("overwrite").parquet(
             f"{self.root}/{base}/sha_index"
         )
         state.canonicals.write.mode("overwrite").parquet(
             f"{self.root}/{base}/canonicals"
         )
-        m = self._commit_manifest(base, [])
-        m["bytes_written"] = self._du(f"{self.root}/{base}")
-        return m
 
     def _write_segment(self, delta: StateDelta, seg: str) -> None:
         """Data half of a commit — everything here is O(batch).  Split
@@ -197,30 +231,52 @@ class StateStore:
             f"{self.root}/{seg}/canon_new"
         )
 
-    def commit_delta(self, delta: StateDelta, batch_id: int | None = None) -> dict:
+    def commit_delta(
+        self,
+        delta: StateDelta,
+        batch_id: int | None = None,
+        stream_id: str | None = None,
+        batch_fp: str | None = None,
+    ) -> dict:
         """Persist one batch's state delta: write seg-{K+1}, then commit
         manifest v{K+1}.  Total bytes written are O(batch) — returned as
         ``bytes_written`` for the bench evidence.
 
         ``batch_id`` (streaming): the micro-batch id from foreachBatch.
-        Ids are monotone within a streaming query, so a commit whose id
-        is <= the manifest's high-water mark is a REPLAY of work already
-        committed (the query restarted between our manifest rename and
-        its own checkpoint advance) — it is skipped without touching the
-        log, and the returned manifest carries ``skipped_replay: True``.
-        This is the idempotent-sink half of exactly-once foreachBatch.
+        Ids are monotone only WITHIN one checkpoint lineage (one
+        streaming query id) — a fresh checkpoint restarts them at 0.  So
+        a commit whose id is <= the manifest's high-water mark is
+        treated as a REPLAY (skipped, ``skipped_replay: True``) only
+        when the lineage matches: ``stream_id`` equals the recorded one,
+        or either side carries no id (direct callers / legacy
+        manifests).  A commit from a DIFFERENT stream_id re-bases the
+        lineage: the new id + mark are recorded even if numerically
+        lower.  Cross-lineage replay-vs-new resolution (content
+        fingerprints, fail-fast) happens in the sink BEFORE this call
+        (streaming/incremental.py) — this method trusts its caller.
+
+        ``batch_fp``: content fingerprint of the batch, recorded in the
+        manifest so future lineages can recognize re-deliveries.
         """
         prev = self.manifest()
         if prev is None:
             raise RuntimeError("commit_delta before bootstrap")
         if batch_id is not None:
             hwm = prev.get("batch_id")
-            if hwm is not None and batch_id <= hwm:
+            prev_sid = prev.get("stream_id")
+            same_lineage = (
+                stream_id is None or prev_sid is None or stream_id == prev_sid
+            )
+            if same_lineage and hwm is not None and batch_id <= hwm:
                 return {**prev, "bytes_written": 0, "skipped_replay": True}
         seg = f"seg-{prev['version'] + 1:08d}"
         self._write_segment(delta, seg)
         m = self._commit_manifest(
-            prev["base"], prev["segments"] + [seg], batch_id=batch_id
+            prev["base"],
+            prev["segments"] + [seg],
+            batch_id=batch_id,
+            stream_id=stream_id,
+            batch_fp=batch_fp,
         )
         m["bytes_written"] = self._du(f"{self.root}/{seg}")
         return m
@@ -236,12 +292,7 @@ class StateStore:
         state = self.read()
         gen = int(prev["base"].split("-g")[1]) + 1
         base = f"base-g{gen:08d}"
-        state.sha_index.write.mode("overwrite").parquet(
-            f"{self.root}/{base}/sha_index"
-        )
-        state.canonicals.write.mode("overwrite").parquet(
-            f"{self.root}/{base}/canonicals"
-        )
+        self._write_base(state, base)
         m = self._commit_manifest(base, [])
         m["bytes_written"] = self._du(f"{self.root}/{base}")
         if gc:
