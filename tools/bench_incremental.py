@@ -117,11 +117,19 @@ def main() -> int:
             res = incremental_assign(spark, st, batches[k], cfg, index_bucket_cap=64)
             a = res.assignments.localCheckpoint(eager=True)
             vias = {r["via"]: r["count"] for r in a.groupBy("via").count().collect()}
+            # READ evidence (r4 verdict item #1): on-disk bytes the
+            # exact probe's index scan covers after prefix pruning,
+            # measured against the pre-commit state it actually probed
+            sha_read = store.sha_read_bytes(res.probe_prefixes)
+            sha_full = store.sha_read_bytes(None)
             m = store.commit_delta(res.delta)
             return {
                 "batch": k,
                 "pages": a.count(),
                 "via": vias,
+                "probe_prefixes": len(res.probe_prefixes or []),
+                "sha_read_bytes": sha_read,
+                "sha_index_bytes": sha_full,
                 "state_write_bytes": m["bytes_written"],
                 "state_total_bytes": store.total_bytes(),
                 "segments": len(m["segments"]),
@@ -188,6 +196,31 @@ def main() -> int:
     for r in chain:
         r.pop("_assign", None)
 
+    # READ-scaling sweep (r4 verdict item #1): probe the SAME state
+    # with batches of increasing size.  The pruned index read must
+    # track batch mass while the batch's distinct sha prefixes are
+    # sparse in the 16^pfx_len partition space, then floor at the full
+    # index once the batch saturates it — at 10^12 docs the partition
+    # count scales with the corpus (larger prefix / Iceberg bucket
+    # spec), which moves the floor (SCALE.md has the math).  Probe
+    # only — nothing committed, so every row sees identical state.
+    nine = fixture.filter(last == "9")
+    full_index_bytes = store.sha_read_bytes(None)
+    read_sweep = []
+    for n in (10, 40, 160, 640, 2560):
+        res = incremental_assign(
+            spark, store.read(), nine.limit(n), cfg, index_bucket_cap=64
+        )
+        rb = store.sha_read_bytes(res.probe_prefixes)
+        read_sweep.append(
+            {
+                "batch_pages": n,
+                "prefixes": len(res.probe_prefixes or []),
+                "sha_read_bytes": rb,
+                "frac_of_index": round(rb / max(full_index_bytes, 1), 4),
+            }
+        )
+
     # compaction: what folding the log buys the read path, and that it
     # preserves the state exactly (rows + total absorbed mass)
     pre_read = measured(fold_probe)
@@ -217,17 +250,21 @@ def main() -> int:
             rerun["input_bytes"] / max(mean_batch_input, 1), 2
         ),
         "compaction": {"pre_read": pre_read, "compact": comp, "post_read": post_read},
+        "sha_index_bytes": full_index_bytes,
+        "read_sweep": read_sweep,
     }
     print(json.dumps(result))
 
     if args.report:
         mb = lambda b: f"{b / 1e6:,.2f}"
         chain_rows = "\n".join(
-            "| {k} | {w} | {p} | {via} | {swb} | {stb} | {inb} | {shb} |".format(
+            "| {k} | {w} | {p} | {via} | {pfx} | {srd} | {swb} | {stb} | {inb} | {shb} |".format(
                 k=r["batch"] + 1,
                 w=r["wall_sec"],
                 p=r["pages"],
                 via=" ".join(f"{v}:{r['via'].get(v, 0)}" for v in ("exact", "near", "new")),
+                pfx=r["probe_prefixes"],
+                srd=f"{mb(r['sha_read_bytes'])} ({r['sha_read_bytes'] / max(r['sha_index_bytes'], 1):.0%})",
                 swb=mb(r["state_write_bytes"]),
                 stb=mb(r["state_total_bytes"]),
                 inb=mb(r["input_bytes"]),
@@ -235,7 +272,17 @@ def main() -> int:
             )
             for r in chain
         )
+        sweep_rows = "\n".join(
+            "| {p:,} | {x} | {rb} | {fr:.1%} |".format(
+                p=s["batch_pages"],
+                x=s["prefixes"],
+                rb=mb(s["sha_read_bytes"]),
+                fr=s["frac_of_index"],
+            )
+            for s in read_sweep
+        )
         corpus_n = result["corpus_pages"]
+        pfx_len = store.manifest().get("sha_pfx_len") or store.sha_prefix_len
         report_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "BENCH",
@@ -253,8 +300,8 @@ commit.  local[32], warm JVM.
 
 ## The chain
 
-| batch | wall s | pages | via mix | state write MB | state total MB | input MB | shuffle write MB |
-|---|---|---|---|---|---|---|---|
+| batch | wall s | pages | via mix | probe prefixes | sha index read MB (% of index) | state write MB | state total MB | input MB | shuffle write MB |
+|---|---|---|---|---|---|---|---|---|---|
 {chain_rows}
 
 - bootstrap (one-time): {boot['wall_sec']} s, state base write {mb(boot['state_write_bytes'])} MB,
@@ -292,6 +339,35 @@ commit.  local[32], warm JVM.
   bridge batch-only clusters, and absorption is one-hop — the same
   greedy behavior the reference applies to later-processed nodes
   (directional.rs:47-53 deletes as it absorbs).
+
+## State READS (prefix-pruned exact probe)
+
+The sha index — the one O(corpus)-rows table — is prefix-partitioned
+on disk (16^{pfx_len} = {16 ** pfx_len} dirs at the store default
+pfx_len={pfx_len}); the per-batch exact probe collects the batch's
+distinct sha prefixes (bounded driver metadata — at most {16 ** pfx_len}
+short strings, never rows) and pushes an `isin` partition filter into
+the base scan, for the hit join AND the anti-join (partition pruning
+down to the file set is pinned in tests/test_state_store.py).
+Probe-only sweep against the final {mb(full_index_bytes)} MB compacted
+index:
+
+| batch pages | prefixes touched | sha index read MB | % of index |
+|---|---|---|---|
+{sweep_rows}
+
+Reads track batch mass while the batch is sparse in the partition
+space (expected touched fraction 1 − e^(−B/P) for B distinct-sha reps
+over P partitions) and floor at the full index once the batch
+saturates it — the chain's ~{batch_pages[0]:,}-page batches sit at
+that floor at P={16 ** pfx_len}, which is the documented floor, not a
+leak: P is a layout knob that scales with the corpus.  At 10^12 docs
+(pfx_len 4-5, or the equivalent Iceberg bucket spec: ~65k-1M
+partitions of a ~30 TB index ≈ 30-460 MB each) a 10^9-page snapshot
+touches min(B, P) partitions, so the per-batch index read is
+~ batch-prefix-count × (index bytes / P), not O(corpus); committed
+segments add O(batch-since-last-compaction) on top, reset by
+compaction.  SCALE.md carries the same math.
 
 ## What compaction buys (measured on the read path)
 

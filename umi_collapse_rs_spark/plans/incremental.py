@@ -76,6 +76,11 @@ class DedupState:
 
     sha_index: DataFrame   # (text_sha, canonical_url) — one row per distinct corpus text
     canonicals: DataFrame  # (url, freq, simhash, mh_bands, mh_sig) — one row per cluster
+    # When the index is prefix-partitioned on disk (StateStore bases),
+    # sha_index additionally carries a string ``sha_pfx`` column (the
+    # first ``sha_pfx_len`` hex chars of text_sha) and the probe prunes
+    # its scan to the batch's own prefixes — see incremental_assign.
+    sha_pfx_len: int | None = None
 
 
 @dataclass
@@ -97,6 +102,10 @@ class IncrementalResult:
     assignments: DataFrame  # (url, canonical_url, via) — one row per NEW page
     state_out: DedupState   # input state + absorbed mass + new clusters (in-memory fold of delta)
     delta: StateDelta       # the O(batch) persistable change (state_out = fold(state_in, delta))
+    # the batch's distinct sha prefixes when the index is prefix-
+    # partitioned (None otherwise) — what the exact probe's index scan
+    # was pruned to; feed to StateStore.sha_read_bytes for evidence
+    probe_prefixes: list[str] | None = None
 
 
 def build_state(res) -> DedupState:
@@ -167,12 +176,35 @@ def incremental_assign(
     reps_n = reps_n.localCheckpoint(eager=False)
 
     # --- step 1: exact sha probe -----------------------------------
-    sha_hit = reps_n.join(state.sha_index, "text_sha").select(
+    # When the index base is prefix-partitioned (StateStore), prune its
+    # scan to the batch's own prefixes: a batch sha can only match an
+    # index row sharing its prefix, for the join AND the anti-join.
+    # The collect is bounded metadata — at most 16^pfx_len short
+    # strings (256 at the default), never rows — the same driver-side
+    # footprint as an AQE statistic.  Index bytes read become
+    # ~ touched_partitions × (index_bytes / partitions), tracking batch
+    # mass while the batch is smaller than the prefix space
+    # (BENCH/INCREMENTAL.md measures the curve and the saturation
+    # floor; SCALE.md has the 10^12-doc partition-count math).
+    sha_idx = state.sha_index
+    probe_prefixes: list[str] | None = None
+    if state.sha_pfx_len and "sha_pfx" in sha_idx.columns:
+        probe_prefixes = sorted(
+            r[0]
+            for r in reps_n.select(
+                F.substring("text_sha", 1, state.sha_pfx_len).alias("p")
+            )
+            .distinct()
+            .collect()
+        )
+        sha_idx = sha_idx.filter(F.col("sha_pfx").isin(probe_prefixes))
+    sha_idx = sha_idx.select("text_sha", "canonical_url")
+    sha_hit = reps_n.join(sha_idx, "text_sha").select(
         F.col("url").alias("rep_url"),
         "canonical_url",
         F.lit("exact").alias("via"),
     )
-    rest = reps_n.join(state.sha_index.select("text_sha"), "text_sha", "left_anti")
+    rest = reps_n.join(sha_idx.select("text_sha"), "text_sha", "left_anti")
 
     # --- step 2: banded near probe against canonicals ---------------
     fp_n = _batch_fingerprints(rest, cfg).localCheckpoint(eager=False)
@@ -301,9 +333,18 @@ def incremental_assign(
         .filter(F.col("via") != "exact")
         .select("text_sha", "canonical_url")
     )
+    sha_new_folded = sha_new
+    if "sha_pfx" in state.sha_index.columns and state.sha_pfx_len:
+        # keep the in-memory fold union-compatible with the prefix-
+        # partitioned index (the persisted delta stays two-column;
+        # StateStore.read re-derives the prefix for segments)
+        sha_new_folded = sha_new.withColumn(
+            "sha_pfx", F.substring("text_sha", 1, state.sha_pfx_len)
+        )
     state_out = DedupState(
-        sha_index=state.sha_index.unionByName(sha_new),
+        sha_index=state.sha_index.unionByName(sha_new_folded),
         canonicals=canon_grown.unionByName(canon_new),
+        sha_pfx_len=state.sha_pfx_len,
     )
     delta = StateDelta(
         sha_new=sha_new,
@@ -312,4 +353,9 @@ def incremental_assign(
         ),
         canon_new=canon_new,
     )
-    return IncrementalResult(assignments=assignments, state_out=state_out, delta=delta)
+    return IncrementalResult(
+        assignments=assignments,
+        state_out=state_out,
+        delta=delta,
+        probe_prefixes=probe_prefixes,
+    )
