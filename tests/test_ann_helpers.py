@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from umi_collapse_rs_spark.functions.embeddings import (
     _probe_masks,
@@ -150,3 +151,30 @@ def test_multitable_auto_planes_guardrail_and_lockstep():
     assert multitable_lsh_topk_oracle_sql(
         n_rows=n
     ) == multitable_lsh_topk_oracle_sql(n_planes=auto_n_planes(n, 64))
+
+
+def test_spread_input_widens_non_file_narrow_plans(spark):
+    """ADVICE r4: a localCheckpoint'd (non-file) frame keeps its 1-2
+    original partitions and used to skip the spread because
+    inputFiles() is empty — the O(n*planes) hash work serialized.  The
+    fallback partition-count check must widen it; an already-wide
+    frame and a wide file scan stay untouched (no gratuitous
+    exchange)."""
+    from umi_collapse_rs_spark.functions.embeddings import _spread_input
+
+    spark_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    narrow = (
+        spark.range(100)
+        .select(F.col("id").cast("string").alias("doc_id"))
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    assert narrow.inputFiles() == []
+    widened = _spread_input(narrow, spark_p, "doc_id")
+    assert (
+        widened._jdf.queryExecution().toRdd().getNumPartitions() == spark_p
+    )
+    wide = spark.range(1000).select(
+        F.col("id").cast("string").alias("doc_id")
+    ).repartition(spark_p, "doc_id").localCheckpoint(eager=True)
+    assert _spread_input(wide, spark_p, "doc_id") is wide

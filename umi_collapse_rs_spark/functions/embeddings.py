@@ -154,19 +154,27 @@ def _spread_input(df: DataFrame, spark_p: int, id_col: str) -> DataFrame:
     corpus.
 
     The narrow-scan decision reads ``df.inputFiles()`` — driver-side
-    plan metadata (a file listing), no job and no plan->RDD conversion
+    plan metadata (a file listing), no job and no Python-RDD wrapper
     (the r2/r3-verdict ``df.rdd.getNumPartitions()`` is retired): a
     file-backed scan with fewer files than the shuffle width is the
-    narrow case; non-file plans (in-memory frames, post-shuffle
-    inputs) already carry defaultParallelism-wide partitioning.  A
-    single HUGE row-group-splittable file over-triggers the spread —
-    harmless (one keyed exchange), and at table scale inputs are
-    always multi-file."""
+    narrow case.  A non-file plan returns NO files, which says nothing
+    about its width (ADVICE r4: cached or localCheckpoint'd frames
+    keep their original 1-2 partitions and would serialize the hash
+    work if skipped here) — for that case only, fall back to the
+    physical partition count via the JVM-side ``toRdd()`` (plan
+    finalization, still no job, no Python RDD).  A single HUGE
+    row-group-splittable file over-triggers the spread — harmless (one
+    keyed exchange), and at table scale inputs are always multi-file."""
     try:
-        n_files = len(df.inputFiles())
+        n_parts = len(df.inputFiles())
     except Exception:  # noqa: BLE001 - non-file plans on odd sources
-        n_files = 0
-    if 0 < n_files < spark_p:
+        n_parts = 0
+    if n_parts == 0:
+        try:
+            n_parts = df._jdf.queryExecution().toRdd().getNumPartitions()
+        except Exception:  # noqa: BLE001 - leave unknown widths alone
+            return df
+    if 0 < n_parts < spark_p:
         return df.repartition(spark_p, id_col)
     return df
 

@@ -130,13 +130,18 @@ def sample_video_frames(data: bytes, max_frames: int, fake: bool = False) -> lis
 
     # Two passes, both O(1) frames in memory (ADVICE r3: the old form
     # retained every decoded keyframe before sampling — unbounded in
-    # video length).  Pass 1 DEMUXES packets only (no decode) to count
-    # keyframes; pass 2 decodes keyframes one at a time, hashing and
-    # dropping each picked frame immediately and stopping after the
-    # last pick.
+    # video length).  Pass 1 counts by running the SAME decode loop
+    # pass 2 enumerates (skip_frame=NONKEY, no pixel conversion) — a
+    # packet-level is_keyframe demux count can disagree with decoder
+    # output (empty flush packets, codecs whose packet flag doesn't
+    # match emitted frames; ADVICE r4), which would let picks index
+    # past the last decoded frame.  Pass 2 decodes keyframes one at a
+    # time, hashing and dropping each picked frame immediately and
+    # stopping after the last pick.
     with av.open(io.BytesIO(data)) as container:
         stream = container.streams.video[0]
-        n = sum(1 for p in container.demux(stream) if p.is_keyframe)
+        stream.codec_context.skip_frame = "NONKEY"
+        n = sum(1 for _ in container.decode(stream))
     if n == 0:
         return []
     # evenly-spaced <= max_frames of the keyframes, deterministic
