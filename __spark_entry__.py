@@ -647,14 +647,19 @@ def q_embedding_ivf_fitted_ann(spark, sf_dir):
     spherical k-means fit on a bounded deterministic sample of the SAME
     corpus (functions/embeddings.fit_ivf_centroids — driver-side
     pyarrow read, <=64k rows, centroids become plan literals), then the
-    identical capped-inverted-list probing as embedding_ivf_ann.
-    Measured recall@3 0.523 -> 0.703 at the same candidate bound
-    (BENCH/ANN.md)."""
+    identical capped-inverted-list probing as embedding_ivf_ann, with
+    2-way multi-assignment (each vector lives in its 2 nearest lists —
+    r4 verdict item #3; k-means++ seeding measured WORSE on these
+    near-uniform vectors and was rejected, see ivf_topk docstring).
+    Measured recall@3 0.523 -> 0.703 -> 0.875 at the same
+    nprobe x list_cap candidate bound (BENCH/ANN.md)."""
     from umi_collapse_rs_spark.functions.embeddings import fit_ivf_centroids, ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
     cents = fit_ivf_centroids(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(e, "vec_id", "embedding", nprobe=5, centroids=cents)
+    return ivf_topk(
+        e, "vec_id", "embedding", nprobe=5, centroids=cents, assign_replicas=2
+    )
 
 
 def q_incremental_assign(spark, sf_dir):
@@ -1015,6 +1020,6 @@ def _data_dependent_oracles() -> dict[str, str]:
             n_rows=n
         ),
         "embedding_ivf_fitted_ann": _embeddings.ivf_topk_oracle_sql(
-            centroids=_embeddings.fit_ivf_centroids(emb_path)
+            centroids=_embeddings.fit_ivf_centroids(emb_path), assign_replicas=2
         ),
     }

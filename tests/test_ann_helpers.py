@@ -143,14 +143,43 @@ def test_multitable_auto_planes_guardrail_and_lockstep():
         multitable_lsh_topk_oracle_sql,
     )
 
+    from umi_collapse_rs_spark.functions.embeddings import auto_n_tables
+
     with pytest.raises(ValueError, match="n_planes|n_rows"):
         multitable_lsh_topk(None, "id", "emb")
     with pytest.raises(ValueError, match="n_planes|n_rows"):
         multitable_lsh_topk_oracle_sql()
+    # n_planes alone no longer suffices: n_tables auto-derives too (r4)
+    with pytest.raises(ValueError, match="n_tables|n_rows"):
+        multitable_lsh_topk_oracle_sql(n_planes=3)
     n = 500
-    assert multitable_lsh_topk_oracle_sql(
-        n_rows=n
-    ) == multitable_lsh_topk_oracle_sql(n_planes=auto_n_planes(n, 64))
+    assert multitable_lsh_topk_oracle_sql(n_rows=n) == multitable_lsh_topk_oracle_sql(
+        n_planes=auto_n_planes(n, 64), n_tables=auto_n_tables(n, 64)
+    )
+
+
+def test_auto_n_tables_scales_with_corpus():
+    """r4 verdict item #2: the table count must RISE with corpus size
+    (recall model L = ln(1-R)/ln(1-p^b), b occupancy-driven), stay
+    clamped at max_tables, and floor at 4.  Pinned values keep the
+    driver query + oracle + BENCH/ANN.md sweep in lockstep."""
+    from umi_collapse_rs_spark.functions.embeddings import auto_n_tables
+
+    # shipped h=1 multiprobe values (BENCH/ANN.md sweep runs these)
+    assert auto_n_tables(500) == 3
+    assert auto_n_tables(2000) == 7
+    assert auto_n_tables(8000) == 17
+    assert auto_n_tables(1_000_000) == 64  # clamp, frontier published
+    # single-probe model (h=0) wants ~5x more tables at the same n
+    assert auto_n_tables(500, probe_hamming=0) == 11
+    assert auto_n_tables(2000, probe_hamming=0) == 34
+    assert auto_n_tables(100, target_recall=0.5, probe_hamming=0) == 4
+    ns = [200, 500, 2000, 8000, 50_000]
+    ts = [auto_n_tables(n) for n in ns]
+    assert ts == sorted(ts)
+    assert all(2 <= t <= 64 for t in ts)
+    # a higher target buys more tables at the same n
+    assert auto_n_tables(2000, target_recall=0.95) > auto_n_tables(2000)
 
 
 def test_spread_input_widens_non_file_narrow_plans(spark):

@@ -63,6 +63,55 @@ def auto_n_planes(n_rows: int, bucket_cap: int) -> int:
     return max(2, math.ceil(math.log2(max(n_rows / max(bucket_cap, 1), 2.0))))
 
 
+def auto_n_tables(
+    n_rows: int,
+    bucket_cap: int = 64,
+    target_recall: float = 0.9,
+    p_collide: float = 0.58,
+    max_tables: int = 64,
+    probe_hamming: int = 1,
+) -> int:
+    """Corpus-size-driven table count for multi-table LSH (r4 verdict
+    item #2: planes auto-scaled with n but the FIXED 16 tables let
+    recall walk down with corpus size — 0.962 at n=500, 0.730 at
+    n=2000 at the same bound).
+
+    Standard LSH recall model: with per-plane collision probability
+    p = 1 − θ/π, a true neighbor lands in the query's probe ball of a
+    b-plane table w.p.  q_hit = Σ_{j≤h} C(b,j) p^(b−j) (1−p)^j  (h =
+    ``probe_hamming``: the query probes its own bucket plus all
+    ≤ h-bit flips), so recall across L independent tables is
+    1 − (1 − q_hit)^L.  Solving for L at a target recall:
+    L = ln(1 − R) / ln(1 − q_hit), with b the same occupancy-driven
+    :func:`auto_n_planes` the tables use.  Multiprobe (h=1, the
+    shipped default) multiplies q_hit ~5x on the sandbox vectors, so
+    L drops ~5x at the same recall — the neighbor side still stores
+    ONE row per (table, vector); only query-side bucket lookups
+    explode.  Without it L grows ~(n/cap)^(−log2 p) — the honest
+    price of recall on structure-free corpora; clustered real
+    embeddings have much higher p and flat L.
+
+    ``p_collide`` = 0.58 is back-fitted from the r4 measurements on
+    the sandbox's near-uniform vectors (recall 0.962 at n=500/b=3/L=16
+    → p = 0.57; 0.730 at n=2000/b=5/L=16 → p = 0.60) and verified
+    prospectively by the n-sweep in BENCH/ANN.md (measured ≥ 0.92 at
+    n=500/2000/8000 with h=1 autos).  ``max_tables`` bounds the
+    candidate join at max_tables × (1 + b·h) × bucket_cap per query —
+    past the clamp the published recall-vs-n frontier decays and the
+    knob to raise is explicit."""
+    import math
+
+    b = auto_n_planes(n_rows, bucket_cap)
+    q_hit = sum(
+        math.comb(b, j) * p_collide ** (b - j) * (1.0 - p_collide) ** j
+        for j in range(min(probe_hamming, b) + 1)
+    )
+    tables = math.ceil(
+        math.log(max(1.0 - target_recall, 1e-9)) / math.log(max(1.0 - q_hit, 1e-12))
+    )
+    return int(min(max(tables, 2 if probe_hamming else 4), max_tables))
+
+
 def parquet_num_rows(path: str) -> int:
     """Row count from parquet FOOTER metadata (no data read, no Spark
     job) — the deterministic corpus-size input to auto_n_planes that
@@ -334,17 +383,27 @@ def multitable_lsh_topk(
     id_col: str,
     emb_col: str,
     dim: int = EMBEDDING_DIM,
-    n_tables: int = 16,
+    n_tables: int | None = None,
     n_planes: int | None = None,
     k: int = 3,
     bucket_cap: int = 64,
     seed: int = 11,
     n_rows: int | None = None,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via multi-table hyperplane LSH
     (the classic L-tables-of-b-planes construction): ``n_tables``
     independent coarse signatures per vector, candidates = union of
-    same-bucket rows across tables, exact cosine re-rank.
+    same-bucket rows across tables, exact cosine re-rank.  Since r5
+    each table is also MULTIPROBED (``probe_hamming=1``: the query
+    probes its own bucket plus every 1-bit flip) — a per-table hit
+    probability of p^b + b·p^(b-1)(1-p) instead of p^b, which cuts the
+    auto-derived table count ~5x at the same target recall (7 vs 34 at
+    n=2000), and with it the signature projection and per-(table,
+    bucket) cap work, while removing the max_tables clamp's recall
+    decay at n=8000 (0.879 clamped -> 0.951 measured, BENCH/ANN.md).
+    Only the query side explodes probes; the neighbor side stays one
+    row per (table, vector).
 
     vs the single-table multiprobe variant (:func:`hyperplane_lsh_topk`):
     more tables buy recall the way more probes do, but each table is an
@@ -373,16 +432,26 @@ def multitable_lsh_topk(
     occupancy ~ ``bucket_cap``, so the per-(table, bucket) cap stops
     truncating neighbor lists — at the fixed 6 planes the sf0.01 tables
     had 64 buckets for 500 vectors (occupancy 8, cap 64 idle) while
-    sf-up corpora overflowed.  Measured recall@3 on the structure-free
-    sandbox vectors at the default 16 tables: 0.553 -> 0.962 at n=500,
-    0.730 at n=2000, same n_tables * bucket_cap candidate bound; the
-    n_tables knob buys more (24 tables: 0.995 / 0.860) at
-    proportionally more candidates (BENCH/ANN.md sweep).
+    sf-up corpora overflowed.  ``n_tables`` defaults to
+    :func:`auto_n_tables` of the same ``n_rows`` (r4 verdict item #2:
+    at a FIXED 16 tables recall decayed with corpus size — 0.962 at
+    n=500, 0.730 at n=2000 — because per-table collision probability
+    p^b falls as the occupancy rule raises b; the table count now
+    solves 1 − (1 − p^b)^L ≥ target).  Measured recall@3 on the
+    structure-free sandbox vectors with both autos: ≥ 0.9 at n=500 AND
+    n=2000 at the published max_tables × bucket_cap candidate bound
+    (BENCH/ANN.md carries the full n-sweep and the frontier past the
+    clamp).
     """
-    if n_planes is None:
+    if n_planes is None or n_tables is None:
         if n_rows is None:
-            raise ValueError("pass n_planes explicitly or n_rows for auto-scaling")
-        n_planes = auto_n_planes(n_rows, bucket_cap)
+            raise ValueError(
+                "pass n_planes and n_tables explicitly or n_rows for auto-scaling"
+            )
+        if n_planes is None:
+            n_planes = auto_n_planes(n_rows, bucket_cap)
+        if n_tables is None:
+            n_tables = auto_n_tables(n_rows, bucket_cap, probe_hamming=probe_hamming)
     planes = lsh_planes(n_tables * n_planes, dim, seed)
     spark_p = _shuffle_partitions(df)
     tb = F.array(
@@ -413,8 +482,22 @@ def multitable_lsh_topk(
     )
     # key space = n_tables * 2^n_planes (1024 at the defaults) — wide
     # enough unsalted; explicit counts pin the stages (see _salt_count)
-    q = sig.select(F.col(id_col).alias("qid"), "t", "bkt").repartition(
-        spark_p, "t", "bkt"
+    # query-side multiprobe: own bucket + Hamming-probe_hamming flips;
+    # probe buckets are pairwise distinct within a table, so each
+    # (query, neighbor, table) hit arises from exactly one probe (the
+    # cross-table duplicates are what the pair-distinct removes)
+    probe_bkts = F.array(
+        F.col("bkt"),
+        *[
+            F.col("bkt").bitwiseXOR(F.lit(m))
+            for m in _probe_masks(n_planes, probe_hamming)
+        ],
+    ) if probe_hamming else F.array(F.col("bkt"))
+    q = (
+        sig.select(
+            F.col(id_col).alias("qid"), "t", F.explode(probe_bkts).alias("bkt")
+        )
+        .repartition(spark_p, "t", "bkt")
     )
     pairs = (
         q.join(nbr, ["t", "bkt"])
@@ -536,19 +619,33 @@ def ivf_topk(
     list_cap: int = 256,
     seed: int = 7,
     centroids: np.ndarray | None = None,
+    assign_replicas: int = 1,
 ) -> DataFrame:
     """Approximate top-k cosine neighbors via an IVF coarse quantizer.
 
-    Every vector is assigned to its nearest centroid (argmax dot against
-    unit centroids — rank 1 of the per-vector centroid ranking); queries
-    probe their ``nprobe`` nearest centroids' inverted lists.  Lists are
-    capped at ``list_cap`` members (rank by id, deterministic), bounding
-    the candidate join at nprobe * list_cap rows per query regardless of
+    Every vector is assigned to its ``assign_replicas`` nearest
+    centroids (argmax dot against unit centroids — ranks 1..R of the
+    per-vector centroid ranking); queries probe their ``nprobe``
+    nearest centroids' inverted lists.  Lists are capped at
+    ``list_cap`` members (rank by id, deterministic), bounding the
+    candidate join at nprobe * list_cap rows per query regardless of
     list skew; exact cosine re-ranks.  ``centroids`` takes a fitted
     quantizer (:func:`fit_ivf_centroids` — the production path);
     without it, deterministic seed-random unit centroids are the
     fit-free baseline.  Either way the DuckDB oracle embeds the same
     literals.
+
+    ``assign_replicas=2`` is the fitted path's recall lever (r4
+    verdict item #3): a boundary vector lives in its 2 nearest lists,
+    so a query probing EITHER finds it — measured recall@3 0.703 →
+    0.875 at n=500 at the identical nprobe × list_cap candidate bound
+    (storage 2×, candidates unchanged; BENCH/ANN.md).  Chosen over the
+    verdict's suggested k-means++ seeding, which MEASURED WORSE on the
+    near-uniform sandbox vectors (0.681 vs 0.703 — sphere-uniform data
+    gives ++'s spread-out seeds no structure to exploit, tested in
+    tools/check_ann_recall.py's sweep).  With replicas a pair can meet
+    in up to R probed lists, so pairs dedup on (qid, nid) before the
+    rank window — same ids-only discipline as the multitable path.
     """
     cents = centroids if centroids is not None else ivf_centroids(n_centroids, dim, seed)
     n_centroids = len(cents)
@@ -579,7 +676,7 @@ def ivf_topk(
     wl = Window.partitionBy("cid").orderBy(id_col)
     n_salt = _salt_count(n_centroids, spark_p)
     nbr = (
-        ranked.filter(F.col("_cr") == 1)
+        ranked.filter(F.col("_cr") <= assign_replicas)
         .withColumn("_lr", F.row_number().over(wl))
         .filter(F.col("_lr") <= list_cap)
         .select(
@@ -596,12 +693,13 @@ def ivf_topk(
         F.col("_nrm").alias("nq"), "cid",
         F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt"),
     ).repartition(spark_p, "cid", "_salt")
-    scored = (
-        q.join(nbr, ["cid", "_salt"])
-        .filter(F.col("qid") != F.col("nid"))
-        .withColumn(
-            "sim", dot_col(F.col("qe"), F.col("ne"), dim) / (F.col("nq") * F.col("nn"))
-        )
+    joined = q.join(nbr, ["cid", "_salt"]).filter(F.col("qid") != F.col("nid"))
+    if assign_replicas > 1:
+        # a pair meets once per shared probed list (<= replicas times);
+        # without this a duplicated nid would occupy two top-k ranks
+        joined = joined.dropDuplicates(["qid", "nid"])
+    scored = joined.withColumn(
+        "sim", dot_col(F.col("qe"), F.col("ne"), dim) / (F.col("nq") * F.col("nn"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
@@ -695,22 +793,29 @@ def hyperplane_lsh_topk_oracle_sql(
 
 def multitable_lsh_topk_oracle_sql(
     dim: int = EMBEDDING_DIM,
-    n_tables: int = 16,
+    n_tables: int | None = None,
     n_planes: int | None = None,
     k: int = 3,
     bucket_cap: int = 64,
     seed: int = 11,
     n_rows: int | None = None,
+    probe_hamming: int = 1,
 ) -> str:
-    if n_planes is None:
+    if n_planes is None or n_tables is None:
         if n_rows is None:
-            raise ValueError("pass n_planes explicitly or n_rows for auto-scaling")
-        n_planes = auto_n_planes(n_rows, bucket_cap)
+            raise ValueError(
+                "pass n_planes and n_tables explicitly or n_rows for auto-scaling"
+            )
+        if n_planes is None:
+            n_planes = auto_n_planes(n_rows, bucket_cap)
+        if n_tables is None:
+            n_tables = auto_n_tables(n_rows, bucket_cap, probe_hamming=probe_hamming)
     planes = lsh_planes(n_tables * n_planes, dim, seed)
     tb_structs = ",\n                   ".join(
         f"{{'t': {t}, 'bkt': {_bucket_sql('embedding', planes[t * n_planes:(t + 1) * n_planes])}}}"
         for t in range(n_tables)
     )
+    masks = [0] + (_probe_masks(n_planes, probe_hamming) if probe_hamming else [])
     cos = _COS_SQL.format(a="qe", b="ne")
     return f"""
         WITH sig AS (
@@ -725,10 +830,14 @@ def multitable_lsh_topk_oracle_sql(
                   FROM sig)
             WHERE r <= {bucket_cap}
         ),
+        probes AS (
+            SELECT vec_id, embedding, t, xor(bkt, m) AS bkt
+            FROM sig, unnest([{", ".join(str(m) for m in masks)}]) AS u(m)
+        ),
         uniq AS (
             SELECT q.vec_id AS qid, n.nid,
                    any_value(q.embedding) AS qe, any_value(n.ne) AS ne
-            FROM sig q JOIN nbr n USING (t, bkt)
+            FROM probes q JOIN nbr n USING (t, bkt)
             WHERE q.vec_id != n.nid
             GROUP BY q.vec_id, n.nid
         ),
@@ -753,13 +862,34 @@ def ivf_topk_oracle_sql(
     list_cap: int = 256,
     seed: int = 7,
     centroids: np.ndarray | None = None,
+    assign_replicas: int = 1,
 ) -> str:
     cents = centroids if centroids is not None else ivf_centroids(n_centroids, dim, seed)
     cd_structs = ",\n                   ".join(
         f"{{'cid': {j}, 'd': {_plane_dot_sql('embedding', c)}}}"
         for j, c in enumerate(cents)
     )
-    cos = _COS_SQL.format(a="q.qe", b="n.ne")
+    if assign_replicas > 1:
+        # pair can meet in several probed lists -> dedup before rank
+        # (mirrors the operator's dropDuplicates; same any_value shape
+        # as the multitable oracle)
+        cos = _COS_SQL.format(a="qe", b="ne")
+        scored = f"""uniq AS (
+            SELECT q.qid, n.nid, any_value(q.qe) AS qe, any_value(n.ne) AS ne
+            FROM q JOIN nbr n USING (cid)
+            WHERE q.qid != n.nid
+            GROUP BY q.qid, n.nid
+        ),
+        scored AS (
+            SELECT qid, nid, {cos} AS sim FROM uniq
+        ),"""
+    else:
+        cos = _COS_SQL.format(a="q.qe", b="n.ne")
+        scored = f"""scored AS (
+            SELECT q.qid, n.nid, {cos} AS sim
+            FROM q JOIN nbr n USING (cid)
+            WHERE q.qid != n.nid
+        ),"""
     return f"""
         WITH cd AS (
             SELECT vec_id, embedding,
@@ -776,18 +906,14 @@ def ivf_topk_oracle_sql(
             SELECT vec_id AS nid, embedding AS ne, cid
             FROM (SELECT *, row_number() OVER (PARTITION BY cid
                                                ORDER BY vec_id) AS lr
-                  FROM ranked WHERE cr = 1)
+                  FROM ranked WHERE cr <= {assign_replicas})
             WHERE lr <= {list_cap}
         ),
         q AS (
             SELECT vec_id AS qid, embedding AS qe, cid
             FROM ranked WHERE cr <= {nprobe}
         ),
-        scored AS (
-            SELECT q.qid, n.nid, {cos} AS sim
-            FROM q JOIN nbr n USING (cid)
-            WHERE q.qid != n.nid
-        ),
+        {scored}
         topk AS (
             SELECT qid, nid, sim,
                    row_number() OVER (PARTITION BY qid
