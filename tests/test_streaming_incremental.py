@@ -38,8 +38,13 @@ def _canon_pdf(df):
 
 
 def _sha_pdf(df):
+    # compare the logical columns only: a prefix-partitioned store
+    # additionally exposes the sha_pfx layout column on read
     return (
-        df.toPandas().sort_values(["text_sha", "canonical_url"]).reset_index(drop=True)
+        df.select("text_sha", "canonical_url")
+        .toPandas()
+        .sort_values(["text_sha", "canonical_url"])
+        .reset_index(drop=True)
     )
 
 

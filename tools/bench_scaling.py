@@ -169,11 +169,33 @@ def main() -> int:
     def eff(a: int, b: int) -> float:
         return round((tp[b] / tp[a]) / (b / a), 3)
 
+    # per-stage efficiency (r4 verdict item #6: the clustering rounds
+    # were the one sub-0.8 stage): median wall per stage per level,
+    # efficiency = (w_small / w_big) / (big / small)
+    def stage_walls(c: int) -> dict[str, float]:
+        acc: dict[str, list[float]] = {}
+        for r in runs[c]:
+            for st in r.get("stages", []):
+                acc.setdefault(st["stage"], []).append(st["wall_ms"])
+        return {s: statistics.median(v) for s, v in acc.items()}
+
+    stage_eff: dict[str, dict] = {}
+    if len(cores_list) >= 2:
+        a, b = cores_list[0], cores_list[-1]
+        wa, wb = stage_walls(a), stage_walls(b)
+        for s in sorted(set(wa) & set(wb)):
+            stage_eff[s] = {
+                f"wall_ms_{a}c": round(wa[s], 0),
+                f"wall_ms_{b}c": round(wb[s], 0),
+                "efficiency": round((wa[s] / wb[s]) / (b / a), 3),
+            }
+
     report = {
         "n_pages": n_pages,
         "repeats": opts.repeats,
         "median_pages_per_sec": tp,
         "all_pages_per_sec": tp_all,
+        "stage_efficiency": stage_eff,
         "runs": {f"local{c}": runs[c] for c in cores_list},
     }
     for a, b in ((1, 4), (2, 8), (8, 32)):
@@ -208,6 +230,15 @@ def main() -> int:
     spread = {
         c: round((tp_all[c][-1] - tp_all[c][0]) / tp[c] * 100, 1) for c in cores_list
     }
+    stage_rows = "\n".join(
+        "| {s} | {w1:,.0f} | {w4:,.0f} | {e} |".format(
+            s=s,
+            w1=v[f"wall_ms_{cores_list[0]}c"],
+            w4=v[f"wall_ms_{cores_list[-1]}c"],
+            e=v["efficiency"],
+        )
+        for s, v in stage_eff.items()
+    )
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
@@ -240,6 +271,19 @@ MEDIAN pages/sec per level, per-run numbers published:
 {per_rep}- run-to-run spread (max-min over median): local[1] {spread.get(1)}%, local[4] {spread.get(4)}%
 - cluster outputs identical across every run and parallelism level: {same}
 
+## Per-stage 1 -> 4 efficiency (median stage wall per level)
+
+r4 verdict item #6: the iterative clustering stage (s6) was the one
+sub-0.8 component — driver-paced rounds pay fixed scheduling latency
+no core count parallelizes.  r5 batches TWO propagation rounds into
+each checkpoint+stats action (operators/cluster.py rounds_per_action),
+halving those round-trips; outputs stay bit-identical (golden tests +
+the identical-clusters check above).
+
+| stage | median wall ms @1c | @4c | efficiency |
+|---|---|---|---|
+{stage_rows}
+
 ## Root cause of the r2 "0.72" measurement
 
 The r2 harness set `shuffle.partitions = cores`, so at local[4] every
@@ -248,9 +292,8 @@ granularity artifact that charged text-length skew to the scaling
 number (measured on one 600k-page input: 215.3 s at sp=4 vs 163.2 s at
 sp=12, +32% from granularity alone; local[1] is immune since 1
 partition cannot skew).  With the per-level formula fixed to 3 x cores
-the pairing measures the JOB, and the job scales: per-stage 1 -> 4
-efficiencies are 0.85-1.0 with the iterative clustering stage (driver-
-paced rounds, ~15% of wall) the only sub-0.8 component.
+the pairing measures the JOB, and the job scales — per-stage numbers
+in the table above.
 
 ## Root cause of the r4 sub-0.8 per-rep pairings (and the gate fix)
 

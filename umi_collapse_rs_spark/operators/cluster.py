@@ -61,6 +61,7 @@ def propagate_min_label(
     id_col: str = "url",
     max_iterations: int = 50,
     jump_after: int = 2,
+    rounds_per_action: int = 2,
 ) -> DataFrame:
     """Min-label propagation over directed edges (src -> dst).
 
@@ -83,6 +84,21 @@ def propagate_min_label(
     get O(log depth) convergence once the jump engages.  Exactness is
     unaffected: both the gather and the jump only ever lower labels
     toward the same fixpoint.
+
+    ``rounds_per_action``: propagation rounds composed into ONE lazy
+    plan per checkpoint+stats action (r4 verdict item #6).  The loop
+    is the job's only driver-paced stage — each action pays fixed
+    scheduling/planning latency that no amount of cores parallelizes,
+    which is what dragged its 1→4-core efficiency below 0.8 while
+    every data stage sat at 0.85-1.0.  Batching two rounds per action
+    halves those round-trips; mid-batch frontiers are the lazily
+    composed changed-sets (exact — labels only ever decrease), and
+    convergence is still detected from the LAST sub-round's change
+    count (a zero-change round is idempotent, so stopping there is the
+    same fixpoint).  Mid-batch broadcast decisions reuse the previous
+    action's measured frontier bytes with 4x headroom (the estimate is
+    ≤ rounds_per_action rounds stale; a declined broadcast is only a
+    perf choice, never a correctness one).
     """
     # DELTA (frontier) propagation: labels only ever decrease, so an
     # in-neighbor whose label did NOT change last round contributed its
@@ -102,36 +118,49 @@ def propagate_min_label(
     n_changed = -1
     frontier_bytes = -1
 
-    for it in range(max_iterations):
+    it = 0
+    while it < max_iterations:
+        batch = max(1, min(rounds_per_action, max_iterations - it))
+        current = labels
         frontier = labels if changed is None else changed
-        if 0 <= frontier_bytes < _BROADCAST_BYTES:
-            frontier = F.broadcast(frontier)
-        incoming = edges.join(frontier, edges["src"] == frontier["_nid"]).select(
-            F.col("dst").alias("_nid"),
-            "label",
-            F.lit(None).cast(old_type).alias("_old"),
-        )
-        self_rows = labels.select("_nid", "label", F.col("label").alias("_old"))
-        combined = (
-            self_rows.unionByName(incoming)
-            .groupBy("_nid")
-            .agg(F.min("label").alias("label"), F.max("_old").alias("_old"))
-        )
-        if it >= jump_after:
-            # pointer jump (label <- label(label)) for O(log depth) rounds
-            roots = combined.select(
-                F.col("_nid").alias("_rid"), F.col("label").alias("_rlabel")
+        combined = None
+        for j in range(batch):
+            f = frontier
+            # sub-round 0 uses the measured bytes; later sub-rounds'
+            # frontiers are unmeasured (lazy), so demand 4x headroom
+            limit = _BROADCAST_BYTES if j == 0 else _BROADCAST_BYTES // 4
+            if 0 <= frontier_bytes < limit:
+                f = F.broadcast(f)
+            incoming = edges.join(f, edges["src"] == f["_nid"]).select(
+                F.col("dst").alias("_nid"),
+                "label",
+                F.lit(None).cast(old_type).alias("_old"),
             )
-            combined = combined.join(
-                roots, combined["label"]["lid"] == roots["_rid"], "left"
-            ).select(
-                "_nid",
-                F.least(F.col("label"), F.coalesce(F.col("_rlabel"), F.col("label"))).alias(
-                    "label"
-                ),
-                "_old",
+            self_rows = current.select("_nid", "label", F.col("label").alias("_old"))
+            combined = (
+                self_rows.unionByName(incoming)
+                .groupBy("_nid")
+                .agg(F.min("label").alias("label"), F.max("_old").alias("_old"))
             )
-        # LAZY checkpoint: the stats agg below is the round's single
+            if it + j >= jump_after:
+                # pointer jump (label <- label(label)) for O(log depth) rounds
+                roots = combined.select(
+                    F.col("_nid").alias("_rid"), F.col("label").alias("_rlabel")
+                )
+                combined = combined.join(
+                    roots, combined["label"]["lid"] == roots["_rid"], "left"
+                ).select(
+                    "_nid",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("_rlabel"), F.col("label"))
+                    ).alias("label"),
+                    "_old",
+                )
+            frontier = combined.filter(F.col("label") != F.col("_old")).select(
+                "_nid", "label"
+            )
+            current = combined.drop("_old")
+        # LAZY checkpoint: the stats agg below is the BATCH's single
         # action — it materializes the checkpoint blocks AND computes
         # the convergence stats in one pass (the r2 shape ran an
         # eager-checkpoint job plus a separate stats job per round,
@@ -153,6 +182,7 @@ def propagate_min_label(
         per_row = 2 * (stats["id_len"] or 0.0) + _ROW_OVERHEAD
         frontier_bytes = int(n_changed * per_row)
         labels = jumped.drop("_old")
+        it += batch
         if n_changed == 0:
             break
     return labels.select(F.col("_nid").alias(id_col), F.col("label")["lid"].alias("root_id"))
