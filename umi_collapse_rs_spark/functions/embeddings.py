@@ -693,11 +693,39 @@ def ivf_topk(
         F.col("_nrm").alias("nq"), "cid",
         F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("_salt"),
     ).repartition(spark_p, "cid", "_salt")
-    joined = q.join(nbr, ["cid", "_salt"]).filter(F.col("qid") != F.col("nid"))
     if assign_replicas > 1:
         # a pair meets once per shared probed list (<= replicas times);
-        # without this a duplicated nid would occupy two top-k ranks
-        joined = joined.dropDuplicates(["qid", "nid"])
+        # unde-duplicated, a repeated nid would occupy two top-k ranks.
+        # Dedup IDS ONLY (the multitable discipline): Catalyst prunes
+        # the arrays off the candidate join + distinct exchanges, and
+        # the embeddings join back ONCE per side of each distinct pair
+        # — a dropDuplicates over the wide rows carried the 1 KB/row
+        # vector payload through its exchange instead (measured +4.9 s
+        # on the sf0.1 bench tier).
+        pairs = (
+            q.select("qid", "cid", "_salt")
+            .join(nbr.select("nid", "cid", "_salt"), ["cid", "_salt"])
+            .filter(F.col("qid") != F.col("nid"))
+            .select("qid", "nid")
+            .distinct()
+            .repartition(spark_p, "qid")
+        )
+        one = ranked.filter(F.col("_cr") == 1)  # one row per vector
+        joined = pairs.join(
+            one.select(
+                F.col(id_col).alias("qid"), F.col(emb_col).alias("qe"),
+                F.col("_nrm").alias("nq"),
+            ),
+            "qid",
+        ).join(
+            one.select(
+                F.col(id_col).alias("nid"), F.col(emb_col).alias("ne"),
+                F.col("_nrm").alias("nn"),
+            ),
+            "nid",
+        )
+    else:
+        joined = q.join(nbr, ["cid", "_salt"]).filter(F.col("qid") != F.col("nid"))
     scored = joined.withColumn(
         "sim", dot_col(F.col("qe"), F.col("ne"), dim) / (F.col("nq") * F.col("nn"))
     )
