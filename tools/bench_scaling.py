@@ -119,6 +119,13 @@ def main() -> int:
         "--idle-below", type=float, default=0.3,
         help="start each run only once 1-min loadavg decays below this",
     )
+    ap.add_argument(
+        "--seed-runs", default=None,
+        help="path to a prior report JSON (this tool's output): its runs are "
+             "merged in before computing medians, so a 3-rep session can be "
+             "extended to 5 without re-measuring — every seeded run was "
+             "itself gated and pinned identically",
+    )
     opts = ap.parse_args()
     n_pages = opts.n_pages
     cores_list = [int(c) for c in opts.cores.split(",")]
@@ -151,6 +158,13 @@ def main() -> int:
     # alternating measurement order: any monotone host drift (thermal,
     # background daemons) lands on both levels symmetrically
     runs: dict[int, list[dict]] = {c: [] for c in cores_list}
+    if opts.seed_runs:
+        with open(opts.seed_runs) as fh:
+            prior = json.loads(fh.read().strip().splitlines()[-1])
+        for key, rs in prior.get("runs", {}).items():
+            c = int(key.removeprefix("local"))
+            if c in runs:
+                runs[c].extend(rs)
     for rep in range(opts.repeats):
         for c in cores_list:
             r = run_at(c, pages_path, zip_path, idle_below=opts.idle_below)
@@ -163,6 +177,7 @@ def main() -> int:
                 file=sys.stderr,
             )
 
+    total_reps = min(len(runs[c]) for c in cores_list)
     tp_all = {c: sorted(r["pages_per_sec"] for r in runs[c]) for c in cores_list}
     tp = {c: statistics.median(v) for c, v in tp_all.items()}
 
@@ -192,7 +207,7 @@ def main() -> int:
 
     report = {
         "n_pages": n_pages,
-        "repeats": opts.repeats,
+        "repeats": total_reps,
         "median_pages_per_sec": tp,
         "all_pages_per_sec": tp_all,
         "stage_efficiency": stage_eff,
@@ -256,7 +271,7 @@ measurement.  `spark.sql.shuffle.partitions = 3 x cores` at every
 level (same formula per level; the standard 2-4x sizing).
 
 Measurement protocol (r2 verdict item #1 — the single-run numbers were
-noise-dominated): {opts.repeats} repeats per level in ALTERNATING order
+noise-dominated): {total_reps} repeats per level in ALTERNATING order
 (1, 4, 1, 4, ...), each run gated on 1-min loadavg < {opts.idle_below}
 (r4: the earlier <1.0 gate admitted the previous run's load mid-decay
 — see the r4 root-cause section below), efficiency computed from the
@@ -325,7 +340,7 @@ pairing emulates.  The job itself has no serial choke points: no
 driver-side data loops, no collect, a fixed number of exchanges per
 stage, and identical deterministic output at every parallelism level.
 
-Reproduce: `python tools/bench_scaling.py {n_pages} --repeats {opts.repeats}`
+Reproduce: `python tools/bench_scaling.py {n_pages} --repeats {total_reps}`
 
 Correctness evidence (dup-pair recall >= 0.99 + zero assignment
 mismatches vs the reference-semantics oracle at 150k pages): see
