@@ -61,7 +61,7 @@ def propagate_min_label(
     id_col: str = "url",
     max_iterations: int = 50,
     jump_after: int = 2,
-    rounds_per_action: int = 2,
+    rounds_per_action: int = 1,
 ) -> DataFrame:
     """Min-label propagation over directed edges (src -> dst).
 
@@ -86,16 +86,23 @@ def propagate_min_label(
     toward the same fixpoint.
 
     ``rounds_per_action``: propagation rounds composed into ONE lazy
-    plan per checkpoint+stats action (r4 verdict item #6).  The loop
-    is the job's only driver-paced stage — each action pays fixed
-    scheduling/planning latency that no amount of cores parallelizes,
-    which is what dragged its 1→4-core efficiency below 0.8 while
-    every data stage sat at 0.85-1.0.  Batching two rounds per action
-    halves those round-trips; mid-batch frontiers are the lazily
-    composed changed-sets (exact — labels only ever decrease), and
-    convergence is still detected from the LAST sub-round's change
-    count (a zero-change round is idempotent, so stopping there is the
-    same fixpoint).  Mid-batch broadcast decisions reuse the previous
+    plan per checkpoint+stats action.  Implemented for r4 verdict item
+    #6 (the loop is the job's only driver-paced stage, so batching
+    rounds halves the fixed scheduling round-trips), MEASURED, and
+    REJECTED as a default: with rounds_per_action=2 the mid-batch
+    frontier is a lazily composed filter over sub-round 1's plan, so
+    sub-round 2's gather, self-rows, and pointer-jump each re-derive
+    sub-round 1's whole join/agg subtree inside the same action —
+    Spark reuses exchanges, not arbitrary common subplans, and the
+    recompute costs more than the saved driver latency.  Stage-isolated
+    2x2 A/B on the 1.2M-page scaling input (checkpoint-resume so ONLY
+    this stage runs; BENCH/BASELINE.md): s6 wall 183.9 s -> 273.3 s at
+    1 core (+49%), 67.8 s -> 87.6 s at 4 cores (+29%), outputs
+    bit-identical (270,177 clusters, equal content hash) in all four
+    arms.  Batching is exact either way (labels only ever decrease;
+    convergence detected from the LAST sub-round's change count), so
+    the knob stays for topologies where driver latency dominates, but
+    the default is 1.  Mid-batch broadcast decisions reuse the previous
     action's measured frontier bytes with 4x headroom (the estimate is
     ≤ rounds_per_action rounds stale; a declined broadcast is only a
     perf choice, never a correctness one).
