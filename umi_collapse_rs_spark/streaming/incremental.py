@@ -100,11 +100,13 @@ def _checkpoint_query_id(spark: SparkSession, checkpoint_dir: str) -> str | None
 
 def batch_fingerprint(batch_df: DataFrame) -> str:
     """Order-independent content fingerprint of a micro-batch: row
-    count + XOR of per-url xxhash64.  One O(batch) aggregate, O(1)
-    driver bytes — never a collect of the batch itself."""
+    count + XOR of per-row xxhash64 over (url, text) — url alone would
+    call a re-crawl of the same urls with CHANGED text a "re-delivery".
+    One O(batch) aggregate, O(1) driver bytes — never a collect of the
+    batch itself."""
     row = batch_df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr("bit_xor(xxhash64(url))").alias("x"),
+        F.expr("bit_xor(xxhash64(url, text))").alias("x"),
     ).head()
     return f"{row['n']}:{row['x']}"
 
