@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Aggregate every committed scaling session into the session-history
+table in BENCH/BASELINE.md (north_rule: throughput scaling efficiency
+>= 0.8 from N to 4N executors, evidenced as 1-vs-4 pinned CPUs).
+
+Each ``BENCH/scaling_*_raw.json`` is one independent
+``tools/bench_scaling.py`` session (fresh pinned JVM per run,
+alternating core order, loadavg-gated starts).  This tool recomputes,
+from the raw per-run records only:
+
+- per-session median pages/sec per level and the 1->4 efficiency,
+- the MEDIAN OF SESSION MEDIANS (the number the criterion is read
+  from — single sessions inherit the shared host's hour-to-hour
+  contention state, see BENCH/BASELINE.md "Session history"),
+- the per-stage median-wall table across sessions (the host-
+  degradation evidence: identical s1-s5 code, drifting 4-core walls).
+
+Usage:  python tools/scaling_sessions.py [--dir BENCH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import statistics
+import sys
+
+
+def load_report(path: str) -> dict | None:
+    """A raw file is either one JSON object (possibly pretty-printed)
+    or log lines with the report JSON last."""
+    raw = open(path).read().strip()
+    if not raw:
+        return None
+    try:
+        return json.loads(raw)
+    except json.JSONDecodeError:
+        try:
+            return json.loads(raw.splitlines()[-1])
+        except json.JSONDecodeError:
+            return None
+
+
+def stage_walls(report: dict, key: str) -> dict[str, float]:
+    acc: dict[str, list[float]] = {}
+    for r in report.get("runs", {}).get(key, []):
+        for st in r.get("stages", []):
+            acc.setdefault(st["stage"], []).append(st["wall_ms"])
+    return {s: statistics.median(v) / 1000.0 for s, v in acc.items()}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dir", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH"))
+    opts = ap.parse_args()
+
+    sessions: list[tuple[str, dict]] = []
+    for path in sorted(glob.glob(os.path.join(opts.dir, "scaling_*_raw.json"))):
+        rep = load_report(path)
+        if not rep or "median_pages_per_sec" not in rep:
+            print(f"skip {path}: not a session report", file=sys.stderr)
+            continue
+        sessions.append((os.path.basename(path), rep))
+    if not sessions:
+        print("no scaling_*_raw.json sessions found", file=sys.stderr)
+        return 1
+
+    print(f"{'session raw file':<34} {'reps':>4} {'med 1c':>8} {'med 4c':>8} {'eff':>6}")
+    effs = []
+    for name, rep in sessions:
+        med = {int(k): v for k, v in rep["median_pages_per_sec"].items()}
+        eff = rep.get("efficiency_1_to_4")
+        if eff is None and 1 in med and 4 in med:
+            eff = round(med[4] / med[1] / 4, 3)
+        effs.append(eff)
+        reps = min(len(v) for v in rep.get("runs", {}).values()) or rep.get("repeats")
+        print(f"{name:<34} {reps:>4} {med.get(1, float('nan')):>8.1f} {med.get(4, float('nan')):>8.1f} {eff:>6.3f}")
+
+    med_eff = statistics.median(effs)
+    m1 = [ {int(k): v for k, v in rep['median_pages_per_sec'].items()}.get(1) for _, rep in sessions ]
+    m4 = [ {int(k): v for k, v in rep['median_pages_per_sec'].items()}.get(4) for _, rep in sessions ]
+    print(f"\nmedian of session medians (criterion >= 0.8): {med_eff:.3f}  "
+          f"(sorted: {', '.join(f'{e:.3f}' for e in sorted(effs))})")
+    print(f"session-to-session spread: 1c {min(m1):.0f}-{max(m1):.0f} ({max(m1)/min(m1):.2f}x), "
+          f"4c {min(m4):.0f}-{max(m4):.0f} ({max(m4)/min(m4):.2f}x)")
+
+    # per-stage cross-session walls (sessions without telemetry are blank)
+    stages = sorted({s for _, rep in sessions for s in stage_walls(rep, "local1")})
+    if stages:
+        print(f"\nper-stage median wall seconds (1c | 4c) per session:")
+        hdr = f"{'stage':<20}" + "".join(f" {name.removeprefix('scaling_').removesuffix('_raw.json'):>16}" for name, _ in sessions)
+        print(hdr)
+        for s in stages:
+            row = f"{s:<20}"
+            for _, rep in sessions:
+                w1, w4 = stage_walls(rep, "local1").get(s), stage_walls(rep, "local4").get(s)
+                row += f" {w1:>7.1f}|{w4:<8.1f}" if w1 and w4 else f" {'-':>16}"
+            print(row)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
