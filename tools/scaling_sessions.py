@@ -25,7 +25,26 @@ import glob
 import json
 import os
 import statistics
+import subprocess
 import sys
+
+
+def first_commit_date(path: str) -> str | None:
+    """Date (YYYY-MM-DD) the raw file FIRST entered git — the session's
+    measurement day (each session is committed right after it runs).
+    Used only for the supplementary by-day grouping; returns None
+    outside a git checkout (uncommitted files group as 'uncommitted')."""
+    try:
+        out = subprocess.run(
+            ["git", "log", "--follow", "--format=%as", "--", os.path.basename(path)],
+            cwd=os.path.dirname(os.path.abspath(path)),
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.split()
+        return out[-1] if out else None
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
 
 
 def load_report(path: str) -> dict | None:
@@ -85,6 +104,29 @@ def main() -> int:
           f"(sorted: {', '.join(f'{e:.3f}' for e in sorted(effs))})")
     print(f"session-to-session spread: 1c {min(m1):.0f}-{max(m1):.0f} ({max(m1)/min(m1):.2f}x), "
           f"4c {min(m4):.0f}-{max(m4):.0f} ({max(m4)/min(m4):.2f}x)")
+
+    # Supplementary by-day view: sessions on the same calendar day share
+    # the same host-contention state (BENCH/BASELINE.md root cause), so
+    # the day, not the session, is the closer-to-independent sample.
+    # The criterion stays read from the session median above; this view
+    # shows how much one degraded host-day weighs in it.
+    by_day: dict[str, list[float]] = {}
+    for (name, rep), eff in zip(sessions, effs):
+        day = (
+            rep.get("measured_date")  # explicit (restored files, see r03a note)
+            or first_commit_date(os.path.join(opts.dir, name))
+            or "uncommitted"
+        )
+        by_day.setdefault(day, []).append(eff)
+    if len(by_day) > 1:
+        print("\nby measurement day (raw file's measured_date, else first git commit date):")
+        day_meds = []
+        for day in sorted(by_day):
+            dm = statistics.median(by_day[day])
+            day_meds.append(dm)
+            print(f"  {day}: {len(by_day[day])} session(s), "
+                  f"effs {', '.join(f'{e:.3f}' for e in sorted(by_day[day]))} -> day median {dm:.3f}")
+        print(f"  median of day medians (supplementary): {statistics.median(day_meds):.3f}")
 
     # per-stage cross-session walls (sessions without telemetry are blank)
     stages = sorted({s for _, rep in sessions for s in stage_walls(rep, "local1")})
