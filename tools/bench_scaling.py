@@ -61,7 +61,13 @@ def _wait_host_idle(threshold: float, max_wait: int = 900) -> tuple[float, int]:
         waited += 15
 
 
-def run_at(cores: int, pages_path: str, zip_path: str, idle_below: float = 0.3) -> dict:
+def run_at(
+    cores: int,
+    pages_path: str,
+    zip_path: str,
+    idle_below: float = 0.3,
+    scratch: str | None = None,
+) -> dict:
     """Run the pipeline pinned to exactly ``cores`` CPUs.
 
     ``taskset`` pinning is what makes "N cores vs 4N cores" honest in a
@@ -69,9 +75,33 @@ def run_at(cores: int, pages_path: str, zip_path: str, idle_below: float = 0.3) 
     shuffle-IO threads and Python UDF workers across all 32 host cores,
     inflating the small-N baseline and understating scaling efficiency.
     GC threads are pinned to the same budget for the same reason.
+
+    ``scratch`` (e.g. ``/dev/shm/ucs_scaling_scratch``) moves
+    ``spark.local.dir`` (shuffle files + spilled block-manager blocks)
+    and the job's output tables onto that path.  Pointing it at tmpfs
+    isolates the measurement from the sandbox's SHARED co-tenant disk:
+    on a real cluster N -> 4N executors multiplies local-disk spindles
+    along with cores, but in this one-VM sandbox both levels contend for
+    the same /dev/vda, so a degraded host-disk day charges co-tenant I/O
+    to the 4-core level only (the 1-core level can't saturate the disk)
+    and understates the job's scaling — see BENCH/BASELINE.md "Why the
+    Aug 19 sessions read low".  Runs with scratch set are labelled in
+    the raw JSON; the input parquet stays on disk (read-once, then
+    page-cached at either setting).
     """
     load, idle_wait = _wait_host_idle(idle_below)
     out_dir = f"/tmp/ucs_scaling_{cores}"
+    extra_conf = []
+    if scratch:
+        import shutil
+
+        # fresh per-run scratch: bound tmpfs usage and avoid any
+        # cross-run block reuse making one run cheaper than another
+        shutil.rmtree(scratch, ignore_errors=True)
+        local_dir = os.path.join(scratch, "spark_local")
+        out_dir = os.path.join(scratch, f"out_{cores}")
+        os.makedirs(local_dir, exist_ok=True)
+        extra_conf = ["--conf", f"spark.local.dir={local_dir}"]
     cmd = [
         "taskset",
         "-c",
@@ -81,6 +111,7 @@ def run_at(cores: int, pages_path: str, zip_path: str, idle_below: float = 0.3) 
         "24g",
         "--conf",
         f"spark.driver.extraJavaOptions=-XX:+UseParallelGC -XX:ParallelGCThreads={max(2, cores)}",
+        *extra_conf,
         "--py-files",
         zip_path,
         "jobs/run_dedup.py",
@@ -102,6 +133,8 @@ def run_at(cores: int, pages_path: str, zip_path: str, idle_below: float = 0.3) 
     summary["cores"] = cores
     summary["loadavg_at_start"] = round(load, 2)
     summary["idle_wait_sec"] = idle_wait
+    if scratch:
+        summary["scratch"] = scratch
     return summary
 
 
@@ -118,6 +151,14 @@ def main() -> int:
     ap.add_argument(
         "--idle-below", type=float, default=0.3,
         help="start each run only once 1-min loadavg decays below this",
+    )
+    ap.add_argument(
+        "--scratch", default=None,
+        help="move spark.local.dir (shuffle + spilled blocks) and job "
+             "output onto this path — point at tmpfs (/dev/shm/...) to "
+             "isolate the pairing from the sandbox's shared co-tenant "
+             "disk, which does not scale 1->4 the way per-executor "
+             "disks do on a real cluster; recorded in the raw JSON",
     )
     ap.add_argument(
         "--seed-runs", default=None,
@@ -167,7 +208,7 @@ def main() -> int:
                 runs[c].extend(rs)
     for rep in range(opts.repeats):
         for c in cores_list:
-            r = run_at(c, pages_path, zip_path, idle_below=opts.idle_below)
+            r = run_at(c, pages_path, zip_path, idle_below=opts.idle_below, scratch=opts.scratch)
             r["rep"] = rep
             runs[c].append(r)
             print(
@@ -208,6 +249,7 @@ def main() -> int:
     report = {
         "n_pages": n_pages,
         "repeats": total_reps,
+        **({"scratch": opts.scratch} if opts.scratch else {}),
         "median_pages_per_sec": tp,
         "all_pages_per_sec": tp_all,
         "stage_efficiency": stage_eff,

@@ -86,23 +86,34 @@ def main() -> int:
         print("no scaling_*_raw.json sessions found", file=sys.stderr)
         return 1
 
-    print(f"{'session raw file':<34} {'reps':>4} {'med 1c':>8} {'med 4c':>8} {'eff':>6}")
-    effs = []
+    # sessions whose scratch (spark.local.dir + output) sat on tmpfs are a
+    # CONTROLLED EXPERIMENT against the shared-disk confound, not part of
+    # the historical disk-scratch protocol — the criterion median mixes no
+    # configurations; tmpfs sessions are listed and aggregated separately.
+    print(f"{'session raw file':<34} {'reps':>4} {'med 1c':>8} {'med 4c':>8} {'eff':>6}  scratch")
+    rows = []
     for name, rep in sessions:
         med = {int(k): v for k, v in rep["median_pages_per_sec"].items()}
         eff = rep.get("efficiency_1_to_4")
         if eff is None and 1 in med and 4 in med:
             eff = round(med[4] / med[1] / 4, 3)
-        effs.append(eff)
+        scratch = rep.get("scratch")
+        rows.append((name, rep, eff, scratch))
         reps = min(len(v) for v in rep.get("runs", {}).values()) or rep.get("repeats")
-        print(f"{name:<34} {reps:>4} {med.get(1, float('nan')):>8.1f} {med.get(4, float('nan')):>8.1f} {eff:>6.3f}")
+        print(f"{name:<34} {reps:>4} {med.get(1, float('nan')):>8.1f} {med.get(4, float('nan')):>8.1f} {eff:>6.3f}  {scratch or 'disk (/tmp)'}")
+    effs = [e for _, _, e, sc in rows if not sc]
+    tmpfs_effs = [e for _, _, e, sc in rows if sc]
 
     med_eff = statistics.median(effs)
-    m1 = [ {int(k): v for k, v in rep['median_pages_per_sec'].items()}.get(1) for _, rep in sessions ]
-    m4 = [ {int(k): v for k, v in rep['median_pages_per_sec'].items()}.get(4) for _, rep in sessions ]
-    print(f"\nmedian of session medians (criterion >= 0.8): {med_eff:.3f}  "
+    disk = [(n, r) for n, r in sessions if not r.get("scratch")]
+    m1 = [ {int(k): v for k, v in rep['median_pages_per_sec'].items()}.get(1) for _, rep in disk ]
+    m4 = [ {int(k): v for k, v in rep['median_pages_per_sec'].items()}.get(4) for _, rep in disk ]
+    print(f"\nmedian of disk-protocol session medians (criterion >= 0.8): {med_eff:.3f}  "
           f"(sorted: {', '.join(f'{e:.3f}' for e in sorted(effs))})")
-    print(f"session-to-session spread: 1c {min(m1):.0f}-{max(m1):.0f} ({max(m1)/min(m1):.2f}x), "
+    if tmpfs_effs:
+        print(f"tmpfs-scratch experiment sessions (shared-disk confound removed): "
+              f"{', '.join(f'{e:.3f}' for e in sorted(tmpfs_effs))}")
+    print(f"disk-session spread: 1c {min(m1):.0f}-{max(m1):.0f} ({max(m1)/min(m1):.2f}x), "
           f"4c {min(m4):.0f}-{max(m4):.0f} ({max(m4)/min(m4):.2f}x)")
 
     # Supplementary by-day view: sessions on the same calendar day share
@@ -111,7 +122,9 @@ def main() -> int:
     # The criterion stays read from the session median above; this view
     # shows how much one degraded host-day weighs in it.
     by_day: dict[str, list[float]] = {}
-    for (name, rep), eff in zip(sessions, effs):
+    for name, rep, eff, scratch in rows:
+        if scratch:
+            continue  # the experiment arm is not a disk-protocol sample
         day = (
             rep.get("measured_date")  # explicit (restored files, see r03a note)
             or first_commit_date(os.path.join(opts.dir, name))
