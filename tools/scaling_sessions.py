@@ -112,7 +112,9 @@ def main() -> int:
           f"(sorted: {', '.join(f'{e:.3f}' for e in sorted(effs))})")
     if tmpfs_effs:
         print(f"tmpfs-scratch experiment sessions (shared-disk confound removed): "
-              f"{', '.join(f'{e:.3f}' for e in sorted(tmpfs_effs))}")
+              f"{', '.join(f'{e:.3f}' for e in sorted(tmpfs_effs))}"
+              + (f"  -> arm median {statistics.median(tmpfs_effs):.3f}"
+                 if len(tmpfs_effs) > 1 else ""))
     print(f"disk-session spread: 1c {min(m1):.0f}-{max(m1):.0f} ({max(m1)/min(m1):.2f}x), "
           f"4c {min(m4):.0f}-{max(m4):.0f} ({max(m4)/min(m4):.2f}x)")
 
